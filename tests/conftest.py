@@ -1,0 +1,26 @@
+"""Test configuration: run on a virtual 8-device CPU mesh.
+
+Must set platform env vars *before* jax initializes (mirrors the reference's
+CPU-as-reference-device test harness, icicle/tests/test_base.h:22-63: our
+"reference device" is the XLA CPU backend, the "main device" is TPU when
+present; CI runs everything on the virtual CPU mesh).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    """Seeded numpy RNG; the seed is logged so failures are reproducible
+    (same policy as reference test_base.h:52-57)."""
+    seed = int(os.environ.get("ICICLE_TPU_TEST_SEED", "20260816"))
+    print(f"[seed={seed}]")
+    return np.random.default_rng(seed)
