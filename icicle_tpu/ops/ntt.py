@@ -1,0 +1,210 @@
+"""Number-theoretic transform (reference F3: include/icicle/ntt.h + CPU
+backend ntt_cpu.h / cpu_ntt_domain.h).
+
+TPU-native design:
+  * Domain = per-(field, logn) cache of stage twiddles **in Montgomery form**
+    (one REDC per butterfly multiply), built on-device by repeated doubling —
+    the analog of CpuNttDomain's precomputed tables (cpu_ntt_domain.h).
+  * "xla" backend: radix-2 Cooley–Tukey decimation-in-time over bit-reversed
+    input, written as reshape/slice/concat stages — compiler-friendly, no
+    gathers inside the stage loop. This is the bit-exactness reference.
+  * "pallas" backend (icicle_tpu.pallas.ntt_kernel): fused VMEM-resident stage
+    groups in the four-step (transpose) decomposition, mirroring the role of
+    the reference's hierarchical layers_sub_logn blocking (ntt_data.h:8-60).
+
+Orderings follow ntt.h Ordering: N = natural, R = bit-reversed, M =
+digit-reversed w.r.t. the four-step radix split (kNM/kMN are what the
+reference's fast mixed-radix path emits; our M digit pair is (n1, n2) of the
+four-step decomposition).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from icicle_tpu.fields.field import Field, get_field
+from icicle_tpu.runtime.config import NTTConfig, NTTDir, Ordering
+from icicle_tpu.runtime import dispatcher
+from icicle_tpu.ops.vec_ops import bit_reverse_indices
+
+_DEFAULT = NTTConfig()
+
+
+# ---------------------------------------------------------------------------
+# Twiddle domain
+# ---------------------------------------------------------------------------
+
+class NttDomain:
+    """Cached twiddle tables for one (field, logn): w^0..w^(n/2-1) (Montgomery
+    form) for forward and inverse, plus n^-1. Reference: CpuNttDomain singleton
+    (backend/cpu/include/cpu_ntt_domain.h)."""
+
+    def __init__(self, f: Field, logn: int):
+        self.field = f
+        self.logn = logn
+        w = f.params.omega(logn)
+        w_inv = pow(w, -1, f.modulus)
+        self.w_int = w
+        self.w_inv_int = w_inv
+        self.n_inv_int = pow(1 << logn, -1, f.modulus)
+        self.twiddles = _powers_mont(f, w, 1 << max(logn - 1, 0))
+        self.twiddles_inv = _powers_mont(f, w_inv, 1 << max(logn - 1, 0))
+        self.n_inv_mont = f.to_mont(f.from_ints(self.n_inv_int))
+
+
+def _powers_mont(f: Field, base: int, count: int):
+    """[base^0, ..., base^(count-1)] in Montgomery form, built by doubling:
+    log2(count) vectorized multiplies on device."""
+    out = f.to_mont(f.from_ints([1]))
+    cur_pow = f.to_mont(f.from_ints([base]))  # base^len(out) in mont form
+    while out.shape[0] < count:
+        # mul_mont(xR, yR) = xyR: mont form is closed under mul_mont
+        ext = f.mul_mont(out, cur_pow)
+        out = jnp.concatenate([out, ext], axis=0)
+        cur_pow = f.mul_mont(cur_pow, cur_pow)
+    return out[:count]
+
+
+_domains: dict[tuple[str, int], NttDomain] = {}
+
+
+def ntt_init_domain(f: Field, logn: int) -> NttDomain:
+    """Build/refresh the domain cache up to size 2^logn (reference
+    ntt_init_domain, src/ntt.cpp:24-36)."""
+    key = (f.name, logn)
+    if key not in _domains:
+        _domains[key] = NttDomain(f, logn)
+    return _domains[key]
+
+
+def ntt_release_domain(f: Field) -> None:
+    for key in [k for k in _domains if k[0] == f.name]:
+        del _domains[key]
+
+
+def get_root_of_unity(f: Field, max_size: int) -> int:
+    """Smallest-order omega covering max_size (reference get_root_of_unity)."""
+    logn = (max_size - 1).bit_length()
+    return f.params.omega(logn)
+
+
+def get_domain(f: Field, logn: int) -> NttDomain:
+    key = (f.name, logn)
+    if key in _domains:
+        return _domains[key]
+    # find a larger cached domain and subsample it
+    for (name, cached_logn), dom in _domains.items():
+        if name == f.name and cached_logn > logn:
+            stride = 1 << (cached_logn - logn)
+            sub = NttDomain.__new__(NttDomain)
+            sub.field = f
+            sub.logn = logn
+            sub.w_int = pow(dom.w_int, stride, f.modulus)
+            sub.w_inv_int = pow(dom.w_inv_int, stride, f.modulus)
+            sub.n_inv_int = pow(1 << logn, -1, f.modulus)
+            sub.twiddles = dom.twiddles[::stride][: 1 << max(logn - 1, 0)]
+            sub.twiddles_inv = dom.twiddles_inv[::stride][: 1 << max(logn - 1, 0)]
+            sub.n_inv_mont = f.to_mont(f.from_ints(sub.n_inv_int))
+            _domains[(f.name, logn)] = sub
+            return sub
+    return ntt_init_domain(f, logn)
+
+
+# ---------------------------------------------------------------------------
+# XLA radix-2 backend
+# ---------------------------------------------------------------------------
+
+def _vec_axis(f: Field, x) -> int:
+    return x.ndim - 1 - len(f.limb_shape)
+
+
+def _take_vec(f: Field, x, idx):
+    return jnp.take(x, idx, axis=_vec_axis(f, x))
+
+
+def _ct_stages(f: Field, x, twiddles, logn: int):
+    """DIT butterflies over bit-reversed input -> natural output.
+
+    Stage s merges blocks of size m=2^s; twiddle for j in [0,m) is
+    w^(j * n/(2m)), a stride-sliced view of the master table.
+    """
+    n = 1 << logn
+    lim = f.limb_shape
+    batch = x.shape[: x.ndim - 1 - len(lim)]
+    for s in range(logn):
+        m = 1 << s
+        stride = n // (2 * m)
+        tw = twiddles[::stride][:m]  # (m,) + lim, Montgomery form
+        xr = x.reshape(batch + (n // (2 * m), 2, m) + lim)
+        even = xr[..., 0, :, :] if lim else xr[..., 0, :]
+        odd = xr[..., 1, :, :] if lim else xr[..., 1, :]
+        t = f.mul_mont(odd, tw)  # canonical * mont-constant -> canonical
+        x = jnp.concatenate([f.add(even, t), f.sub(even, t)], axis=len(batch) + 1)
+        x = x.reshape(batch + (n,) + lim)
+    return x
+
+
+def _ntt_xla(f: Field, x, dir: NTTDir, cfg: NTTConfig):
+    axis = _vec_axis(f, x)
+    n = x.shape[axis]
+    logn = n.bit_length() - 1
+    assert 1 << logn == n, "NTT size must be a power of two"
+    dom = get_domain(f, logn)
+
+    # move vector axis to the canonical position (just before limbs)
+    rev = jnp.asarray(bit_reverse_indices(n))
+
+    input_rev = cfg.ordering in (Ordering.RN, Ordering.RR)
+    output_rev = cfg.ordering in (Ordering.NR, Ordering.RR)
+
+    if dir == NTTDir.FORWARD and cfg.coset_gen is not None:
+        shifts = _powers_mont(f, cfg.coset_gen, n)
+        if input_rev:  # input arrives bit-reversed: permute the shift table
+            shifts = jnp.take(shifts, rev, axis=0)
+        x = f.mul_mont(x, shifts)
+
+    # DIT wants bit-reversed input; if caller's input is natural, reverse it.
+    if not input_rev:
+        x = _take_vec(f, x, rev)
+    tw = dom.twiddles if dir == NTTDir.FORWARD else dom.twiddles_inv
+    y = _ct_stages(f, x, tw, logn)
+    # y is natural-ordered now
+    if dir == NTTDir.INVERSE:
+        y = f.mul_mont(y, dom.n_inv_mont)
+        if cfg.coset_gen is not None:
+            inv_gen = pow(cfg.coset_gen, -1, f.modulus)
+            shifts = _powers_mont(f, inv_gen, n)
+            y = f.mul_mont(y, shifts)
+    if output_rev:
+        y = _take_vec(f, y, rev)
+    return y
+
+
+dispatcher.register_impl("ntt", "xla", _ntt_xla)
+
+
+def ntt(f: Field, x, dir: NTTDir = NTTDir.FORWARD, cfg: NTTConfig = _DEFAULT):
+    """Forward/inverse NTT along the vector axis (reference ntt(), ntt.h)."""
+    return dispatcher.dispatch("ntt", cfg.backend)(f, x, dir, cfg)
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_ntt(field_name: str, direction: str, ordering: str, coset_gen, backend):
+    f = get_field(field_name)
+    cfg = NTTConfig(coset_gen=coset_gen, ordering=Ordering(ordering), backend=backend)
+
+    @jax.jit
+    def run(x):
+        return dispatcher.dispatch("ntt", backend)(f, x, NTTDir(direction), cfg)
+
+    return run
+
+
+def ntt_jit(f: Field, x, dir: NTTDir = NTTDir.FORWARD, cfg: NTTConfig = _DEFAULT):
+    """jit-cached entry point (one compile per field/ordering/size)."""
+    return _jitted_ntt(f.name, dir.value, cfg.ordering.value, cfg.coset_gen,
+                       cfg.backend)(x)
