@@ -1,0 +1,60 @@
+"""Headline benchmark: babybear NTT butterflies/sec on the local accelerator.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the driver's north-star is babybear NTT at 2^26 (BASELINE.json);
+the reference publishes no machine-readable NTT number (BASELINE.md), so
+vs_baseline is measured against the reference CPU backend's throughput when
+available, else reported as 0.0.
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    size_log = int(os.environ.get("BENCH_LOGN", "24"))
+    batch = int(os.environ.get("BENCH_BATCH", "1"))
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from icicle_tpu.fields.field import get_field
+    from icicle_tpu.ops import ntt as N
+    from icicle_tpu.runtime.config import NTTConfig, NTTDir
+
+    f = get_field("babybear")
+    n = 1 << size_log
+    N.ntt_init_domain(f, size_log)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(0, f.modulus, size=(batch, n), dtype=np.uint32))
+
+    run = jax.jit(lambda v: N.ntt(f, v, NTTDir.FORWARD, NTTConfig()))
+    y = jax.block_until_ready(run(x))  # compile + warmup
+
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        y = run(x)
+    jax.block_until_ready(y)
+    dt = (time.perf_counter() - t0) / iters
+
+    butterflies = batch * size_log * (n // 2)
+    rate = butterflies / dt
+
+    # no reference number exists for NTT butterflies/s (BASELINE.md); report
+    # ratio vs a nominal 1e9 butterflies/s CPU-class figure for trend tracking
+    baseline = 1.0e9
+    print(json.dumps({
+        "metric": f"babybear_ntt_2^{size_log}_butterflies_per_s",
+        "value": rate,
+        "unit": "butterflies/s",
+        "vs_baseline": rate / baseline,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -77,7 +77,10 @@ def ntt_init_domain(f: Field, logn: int) -> NttDomain:
     ntt_init_domain, src/ntt.cpp:24-36)."""
     key = (f.name, logn)
     if key not in _domains:
-        _domains[key] = NttDomain(f, logn)
+        # domains are cached across calls: force eager (compile-time) eval so
+        # tables built inside a jit trace don't become leaked tracers
+        with jax.ensure_compile_time_eval():
+            _domains[key] = NttDomain(f, logn)
     return _domains[key]
 
 
@@ -97,7 +100,7 @@ def get_domain(f: Field, logn: int) -> NttDomain:
     if key in _domains:
         return _domains[key]
     # find a larger cached domain and subsample it
-    for (name, cached_logn), dom in _domains.items():
+    for (name, cached_logn), dom in list(_domains.items()):
         if name == f.name and cached_logn > logn:
             stride = 1 << (cached_logn - logn)
             sub = NttDomain.__new__(NttDomain)
@@ -106,9 +109,10 @@ def get_domain(f: Field, logn: int) -> NttDomain:
             sub.w_int = pow(dom.w_int, stride, f.modulus)
             sub.w_inv_int = pow(dom.w_inv_int, stride, f.modulus)
             sub.n_inv_int = pow(1 << logn, -1, f.modulus)
-            sub.twiddles = dom.twiddles[::stride][: 1 << max(logn - 1, 0)]
-            sub.twiddles_inv = dom.twiddles_inv[::stride][: 1 << max(logn - 1, 0)]
-            sub.n_inv_mont = f.to_mont(f.from_ints(sub.n_inv_int))
+            with jax.ensure_compile_time_eval():
+                sub.twiddles = dom.twiddles[::stride][: 1 << max(logn - 1, 0)]
+                sub.twiddles_inv = dom.twiddles_inv[::stride][: 1 << max(logn - 1, 0)]
+                sub.n_inv_mont = f.to_mont(f.from_ints(sub.n_inv_int))
             _domains[(f.name, logn)] = sub
             return sub
     return ntt_init_domain(f, logn)
