@@ -1,0 +1,185 @@
+"""Merkle tree builder/prover/verifier (reference F9: include/icicle/merkle/
+merkle_tree.h:15-209, merkle_proof.h; CPU backend cpu_merkle_tree.cpp).
+
+TPU-native design: a tree is a list of per-layer hashers over the uniform
+word-level Hash interface; build is one batched `hash_words` call per layer
+(the whole layer hashes in parallel on the VPU — replacing the reference's
+TasksManager segment pipeline). Proof extraction/verification are host-side
+index walks over the stored layer tensors.
+
+Layer arity_i = hashers[i].default_input_words / prev_digest_words; leaf layer
+consumes leaf_words per hash. Padding policies mirror the reference
+(none = size must divide exactly | zero | last_value).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from icicle_tpu.ops.hash.hash import Hash
+from icicle_tpu.runtime.config import MerkleTreeConfig
+from icicle_tpu.runtime.errors import IcicleError, IcicleException, check
+
+
+@dataclasses.dataclass
+class MerkleProof:
+    """reference merkle_proof.h: leaf (+index), root, path, pruned flag."""
+
+    leaf: np.ndarray          # uint32 words of the leaf chunk
+    leaf_idx: int
+    root: np.ndarray          # uint32 words
+    path: list[np.ndarray]    # per layer: sibling group words (pruned) or full group
+    pruned: bool
+
+    def serialize(self) -> bytes:
+        import struct
+        out = [struct.pack("<BQI", int(self.pruned), self.leaf_idx, len(self.path))]
+        out.append(struct.pack("<I", self.leaf.size))
+        out.append(self.leaf.astype("<u4").tobytes())
+        out.append(struct.pack("<I", self.root.size))
+        out.append(self.root.astype("<u4").tobytes())
+        for seg in self.path:
+            out.append(struct.pack("<I", seg.size))
+            out.append(seg.astype("<u4").tobytes())
+        return b"".join(out)
+
+    @classmethod
+    def deserialize(cls, data: bytes) -> "MerkleProof":
+        import struct
+        off = 0
+        pruned, leaf_idx, npath = struct.unpack_from("<BQI", data, off)
+        off += struct.calcsize("<BQI")
+
+        def read_arr():
+            nonlocal off
+            (n,) = struct.unpack_from("<I", data, off)
+            off += 4
+            arr = np.frombuffer(data, dtype="<u4", count=n, offset=off).copy()
+            off += 4 * n
+            return arr
+
+        leaf = read_arr()
+        root = read_arr()
+        path = [read_arr() for _ in range(npath)]
+        return cls(leaf=leaf, leaf_idx=leaf_idx, root=root, path=path,
+                   pruned=bool(pruned))
+
+
+class MerkleTree:
+    """reference MerkleTree::create(layer_hashes, leaf_element_size,
+    output_store_min_layer)."""
+
+    def __init__(self, layer_hashes: list[Hash], leaf_words: int,
+                 output_store_min_layer: int = 0):
+        check(len(layer_hashes) >= 1, IcicleError.INVALID_ARGUMENT, "need >= 1 layer")
+        self.hashers = list(layer_hashes)
+        self.leaf_words = leaf_words
+        self.min_store_layer = output_store_min_layer
+        # arity of layer i in units of previous-layer outputs
+        self.arities: list[int] = []
+        prev_words = leaf_words
+        for i, h in enumerate(self.hashers):
+            in_words = h.default_input_words or prev_words
+            check(in_words % prev_words == 0, IcicleError.INVALID_ARGUMENT,
+                  f"layer {i}: input {in_words} not divisible by prev {prev_words}")
+            self.arities.append(in_words // prev_words)
+            prev_words = h.digest_words
+        self.layers: list[jnp.ndarray | None] = []
+        self._nof_leaves = None
+
+    def expected_leaves(self) -> int:
+        n = 1
+        for a in self.arities:
+            n *= a
+        return n
+
+    def build(self, leaves, cfg: MerkleTreeConfig = MerkleTreeConfig()):
+        """leaves: (nof_leaves, leaf_words) uint32 (or flat multiple).
+
+        One batched hash per layer (reference build, cpu_merkle_tree.cpp:55-80).
+        """
+        x = jnp.asarray(leaves, dtype=jnp.uint32)
+        if x.ndim == 1:
+            check(x.size % self.leaf_words == 0, IcicleError.INVALID_ARGUMENT,
+                  "flat leaves not a multiple of leaf size")
+            x = x.reshape(-1, self.leaf_words)
+        want = self.expected_leaves()
+        have = x.shape[0]
+        if have != want:
+            check(have <= want, IcicleError.INVALID_ARGUMENT, "too many leaves")
+            if cfg.padding_policy == "zero":
+                pad = jnp.zeros((want - have, self.leaf_words), dtype=jnp.uint32)
+            elif cfg.padding_policy == "last_value":
+                pad = jnp.broadcast_to(x[-1], (want - have, self.leaf_words))
+            else:
+                raise IcicleException(IcicleError.INVALID_ARGUMENT,
+                                      f"{have} leaves != {want} and no padding policy")
+            x = jnp.concatenate([x, pad], axis=0)
+        self._nof_leaves = want
+        self.layers = [x]
+        cur = x
+        for i, h in enumerate(self.hashers):
+            n_out = cur.shape[0] // self.arities[i]
+            cur = h.hash_words(cur.reshape(n_out, self.arities[i] * cur.shape[1]))
+            self.layers.append(cur)
+        # drop layers below min_store_layer (keep leaves virtually: index 0)
+        for j in range(1, self.min_store_layer + 1):
+            if j < len(self.layers) - 1:
+                self.layers[j] = None
+        return self.get_root()
+
+    def get_root(self) -> np.ndarray:
+        check(bool(self.layers), IcicleError.INVALID_ARGUMENT, "tree not built")
+        return np.asarray(self.layers[-1]).reshape(-1)
+
+    def _layer_np(self, i: int) -> np.ndarray:
+        check(self.layers[i] is not None, IcicleError.INVALID_ARGUMENT,
+              f"layer {i} not stored (min_store_layer={self.min_store_layer})")
+        return np.asarray(self.layers[i])
+
+    def get_merkle_proof(self, leaves, leaf_idx: int, pruned: bool = True) -> MerkleProof:
+        """Extract a proof for one leaf (reference get_merkle_proof; pruned
+        path = sibling digests only, full = whole hash-input groups)."""
+        leaves = np.asarray(leaves, dtype=np.uint32).reshape(-1, self.leaf_words)
+        path = []
+        idx = leaf_idx
+        for i, h in enumerate(self.hashers):
+            arity = self.arities[i]
+            group_start = (idx // arity) * arity
+            layer = leaves if i == 0 else self._layer_np(i)
+            group = layer[group_start:group_start + arity]
+            if pruned:
+                sibs = np.concatenate([group[j] for j in range(arity) if
+                                       group_start + j != idx], axis=0)
+                path.append(sibs.reshape(-1))
+            else:
+                path.append(group.reshape(-1))
+            idx //= arity
+        return MerkleProof(leaf=leaves[leaf_idx].copy(), leaf_idx=leaf_idx,
+                           root=self.get_root(), path=path, pruned=pruned)
+
+    def verify(self, proof: MerkleProof) -> bool:
+        """Recompute the root from the proof (reference MerkleTree::verify)."""
+        cur = proof.leaf
+        idx = proof.leaf_idx
+        for i, h in enumerate(self.hashers):
+            arity = self.arities[i]
+            pos = idx % arity
+            w = cur.size
+            seg = proof.path[i].reshape(arity - 1 if proof.pruned else arity, -1)
+            if proof.pruned:
+                parts = [seg[j] for j in range(pos)] + [cur] + \
+                        [seg[j] for j in range(pos, arity - 1)]
+            else:
+                expect = seg[pos]
+                if not np.array_equal(expect, cur):
+                    return False
+                parts = [seg[j] for j in range(arity)]
+            block = np.concatenate(parts).reshape(1, -1)
+            cur = np.asarray(h.hash_words(jnp.asarray(block))).reshape(-1)
+            idx //= arity
+        return np.array_equal(cur, proof.root)

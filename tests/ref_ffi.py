@@ -1,0 +1,170 @@
+"""ctypes harness over the reference C++ build (the "reference device").
+
+Loads the ICICLE CPU backend built from /root/reference into /tmp/icicle_build
+(see tools/build_reference.sh) and exposes golden-vector generators. This is
+the TPU analog of the reference's main-vs-reference-device test pattern
+(icicle/tests/test_base.h:22-63): our main device is the JAX implementation,
+the reference device is ICICLE's own CPU backend.
+"""
+
+from __future__ import annotations
+
+import ctypes as C
+import functools
+import os
+
+import numpy as np
+
+BUILD_DIR = os.environ.get("ICICLE_REF_BUILD", "/tmp/icicle_build")
+
+
+def available(field: str = "babybear") -> bool:
+    return (os.path.exists(os.path.join(BUILD_DIR, "libicicle_device.so"))
+            and os.path.exists(os.path.join(BUILD_DIR, f"libicicle_field_{field}.so")))
+
+
+@functools.lru_cache(maxsize=None)
+def _libs(field: str = "babybear"):
+    dev = C.CDLL(os.path.join(BUILD_DIR, "libicicle_device.so"), mode=C.RTLD_GLOBAL)
+    fld = C.CDLL(os.path.join(BUILD_DIR, f"libicicle_field_{field}.so"),
+                 mode=C.RTLD_GLOBAL)
+    try:
+        hsh = C.CDLL(os.path.join(BUILD_DIR, "libicicle_hash.so"), mode=C.RTLD_GLOBAL)
+    except OSError:
+        hsh = fld
+    return dev, fld, hsh
+
+
+class HashConfig(C.Structure):
+    _fields_ = [("stream", C.c_void_p),
+                ("batch", C.c_uint64),
+                ("are_inputs_on_device", C.c_bool),
+                ("are_outputs_on_device", C.c_bool),
+                ("is_async", C.c_bool),
+                ("ext", C.c_void_p)]
+
+
+class NTTInitDomainConfig(C.Structure):
+    _fields_ = [("stream", C.c_void_p),
+                ("is_async", C.c_bool),
+                ("ext", C.c_void_p)]
+
+
+def ntt_config_struct(scalar_bytes: int):
+    class NTTConfig(C.Structure):
+        _fields_ = [("stream", C.c_void_p),
+                    ("coset_gen", C.c_uint8 * scalar_bytes),
+                    ("batch_size", C.c_int),
+                    ("columns_batch", C.c_bool),
+                    ("ordering", C.c_int),
+                    ("are_inputs_on_device", C.c_bool),
+                    ("are_outputs_on_device", C.c_bool),
+                    ("is_async", C.c_bool),
+                    ("ext", C.c_void_p)]
+    return NTTConfig
+
+
+class VecOpsConfig(C.Structure):
+    _fields_ = [("stream", C.c_void_p),
+                ("is_a_on_device", C.c_bool),
+                ("is_b_on_device", C.c_bool),
+                ("is_result_on_device", C.c_bool),
+                ("is_async", C.c_bool),
+                ("batch_size", C.c_int),
+                ("columns_batch", C.c_bool),
+                ("ext", C.c_void_p)]
+
+
+def _scalar_bytes(field: str) -> int:
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from icicle_tpu.fields.field import get_field
+    return max(get_field(f"{field}_scalar" if field in
+                         ("bn254", "bls12_377", "bls12_381", "bw6_761", "grumpkin")
+                         else field).nlimbs, 1) * 4
+
+
+# -- poseidon2 ---------------------------------------------------------------
+
+def poseidon2_hash(field: str, t: int, inputs: np.ndarray,
+                   domain_tag: np.ndarray | None = None) -> np.ndarray:
+    """inputs: (batch, n_scalars_in) uint8-viewable scalar array (LE bytes).
+    Returns (batch, scalar_bytes) uint8 digests."""
+    dev, fld, hsh = _libs(field)
+    sb = _scalar_bytes(field)
+    create = getattr(fld, f"{field}_create_poseidon2_hasher")
+    create.restype = C.c_void_p
+    create.argtypes = [C.c_uint, C.c_void_p, C.c_uint]
+    tag_buf = None
+    if domain_tag is not None:
+        tag_buf = np.ascontiguousarray(domain_tag, dtype=np.uint8)
+        assert tag_buf.size == sb
+    handle = create(t, tag_buf.ctypes.data if tag_buf is not None else None, 0)
+    assert handle, "create_poseidon2_hasher failed"
+
+    do_hash = hsh.icicle_hasher_hash
+    do_hash.restype = C.c_int
+    do_hash.argtypes = [C.c_void_p, C.c_void_p, C.c_uint64, C.c_void_p, C.c_void_p]
+    data = np.ascontiguousarray(inputs, dtype=np.uint8)
+    batch = data.shape[0]
+    cfg = HashConfig(stream=None, batch=batch, are_inputs_on_device=False,
+                     are_outputs_on_device=False, is_async=False, ext=None)
+    out = np.zeros((batch, sb), dtype=np.uint8)
+    # input_len is the size of ONE hash's input; config.batch scales it
+    # (cpu_poseidon2.cpp: input_size_in_scalars = size / sizeof(S) vs t)
+    rc = do_hash(handle, data.ctypes.data, data.size // batch, C.byref(cfg),
+                 out.ctypes.data)
+    assert rc == 0, f"icicle_hasher_hash rc={rc}"
+    delete = hsh.icicle_hasher_delete
+    delete.argtypes = [C.c_void_p]
+    delete(handle)
+    return out
+
+
+# -- ntt -----------------------------------------------------------------------
+
+_domain_initialized: set = set()
+
+
+def ntt(field: str, inputs_u32: np.ndarray, logn_domain: int, inverse: bool = False,
+        ordering: int = 0, batch: int = 1, coset_gen_le: np.ndarray | None = None
+        ) -> np.ndarray:
+    """inputs_u32: flat uint32 scalars (batch*size*limbs). Returns same shape."""
+    dev, fld, hsh = _libs(field)
+    sb = _scalar_bytes(field)
+    if (field, logn_domain) not in _domain_initialized:
+        get_rou = getattr(fld, f"{field}_get_root_of_unity")
+        get_rou.argtypes = [C.c_uint64, C.c_void_p]
+        rou = np.zeros(sb, dtype=np.uint8)
+        assert get_rou(1 << logn_domain, rou.ctypes.data) == 0
+        init = getattr(fld, f"{field}_ntt_init_domain")
+        init.argtypes = [C.c_void_p, C.c_void_p]
+        icfg = NTTInitDomainConfig(stream=None, is_async=False, ext=None)
+        assert init(rou.ctypes.data, C.byref(icfg)) == 0
+        _domain_initialized.add((field, logn_domain))
+
+    NTTConfig = ntt_config_struct(sb)
+    cfg = NTTConfig()
+    cfg.stream = None
+    one = np.zeros(sb, dtype=np.uint8)
+    one[0] = 1
+    src = coset_gen_le if coset_gen_le is not None else one
+    for i in range(sb):
+        cfg.coset_gen[i] = int(src[i])
+    cfg.batch_size = batch
+    cfg.columns_batch = False
+    cfg.ordering = ordering
+    cfg.are_inputs_on_device = False
+    cfg.are_outputs_on_device = False
+    cfg.is_async = False
+    cfg.ext = None
+
+    fn = getattr(fld, f"{field}_ntt")
+    fn.restype = C.c_int
+    fn.argtypes = [C.c_void_p, C.c_int, C.c_int, C.c_void_p, C.c_void_p]
+    data = np.ascontiguousarray(inputs_u32, dtype=np.uint32)
+    size = data.size // batch // (sb // 4)
+    out = np.zeros_like(data)
+    rc = fn(data.ctypes.data, size, 1 if inverse else 0, C.byref(cfg), out.ctypes.data)
+    assert rc == 0, f"{field}_ntt rc={rc}"
+    return out
