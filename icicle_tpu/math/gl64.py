@@ -163,20 +163,25 @@ class Goldilocks:
         return arr
 
     def pow_const(self, a, e: int):
+        """a^e via square-and-multiply as a lax.scan over exponent bits: the
+        mul body is traced once, keeping the XLA graph tiny regardless of e
+        (an unrolled 64-bit chain makes single-core LLVM compiles pathological).
+        """
+        import jax
         if e == 0:
             return self.const(1, like=a)
-        acc = a
-        result = None
-        bits = []
-        while e:
-            bits.append(e & 1)
-            e >>= 1
-        for i, bit in enumerate(bits):
-            if bit:
-                result = acc if result is None else self.mul(result, acc)
-            if i + 1 < len(bits):
-                acc = self.mul(acc, acc)
-        return result
+        one = jnp.broadcast_to(self.const(1, like=a), a.shape)
+        bits = jnp.array([(e >> i) & 1 for i in reversed(range(e.bit_length()))],
+                         dtype=jnp.uint32)
+
+        def body(res, bit):
+            res = self.mul(res, res)
+            res_mul = self.mul(res, a)
+            res = jnp.where(bit.astype(bool), res_mul, res)
+            return res, None
+
+        out, _ = jax.lax.scan(body, one, bits)
+        return out
 
     def inv(self, a):
         return self.pow_const(a, self.p_int - 2)

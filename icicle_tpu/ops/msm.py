@@ -1,0 +1,250 @@
+"""Multi-scalar multiplication (Pippenger) as a TPU-native vectorized kernel.
+
+Reference surface: ``include/icicle/msm.h`` (msm, msm_precompute_bases,
+MSMConfig) with the CPU algorithm in ``backend/cpu/src/curve/cpu_msm.hpp``
+(signed-digit windows -> per-worker bucket scatter -> segment collapse ->
+serial window accumulation).
+
+TPU redesign — no scatter-accumulate, no per-thread buckets:
+  1. signed window digits (W, N) extracted from scalar limbs (statically
+     unrolled shifts; carry ripple across windows),
+  2. per window: sort point indices by |digit| (XLA sort), negate y where the
+     digit is negative,
+  3. bucket sums via a *flagged segmented* ``lax.associative_scan`` whose
+     combiner is the complete projective add — branchless, identity-safe —
+     followed by a gather of segment tails into the bucket array,
+  4. weighted bucket reduction sum_k k*B_k via a reversed associative scan
+     (suffix sums) + binary tree reduce,
+  5. Horner combine of window sums (c doublings per step) via ``lax.scan``.
+
+Windows run under ``lax.map`` (sequential) to bound peak HBM; every stage is
+batched over N so the VPU stays saturated.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from icicle_tpu.curves.params import Curve, get_curve
+from icicle_tpu.curves.group import (
+    Affine, Projective, Group, get_group, pselect,
+)
+
+
+@dataclasses.dataclass
+class MSMConfig:
+    """Mirror of the reference MSMConfig (msm.h:19-97); TPU-relevant fields."""
+    c: int = 0                     # window bits; 0 = auto
+    precompute_factor: int = 1
+    batch_size: int = 1
+    are_scalars_montgomery_form: bool = False
+    are_points_montgomery_form: bool = False
+
+
+def _auto_c(n: int) -> int:
+    """Pick window bits minimizing W*(n + 4*2^(c-1)) with a graph-size cap."""
+    best_c, best_cost = 1, float("inf")
+    for c in range(2, 17):
+        w = (255 + c) // c + 1
+        cost = w * (n + 4 * (1 << (c - 1)))
+        if cost < best_cost:
+            best_c, best_cost = c, cost
+    return best_c
+
+
+def _signed_digits(scalar_limbs, c: int, nbits: int):
+    """(N, Ls) u32 canonical scalars -> (W, N) int32 signed digits.
+
+    Digits lie in [-2^(c-1), 2^(c-1)]; sum_w d_w * 2^(c*w) == scalar.
+    Statically unrolled over windows (W is small).
+    """
+    n_windows = (nbits + c) // c + 1  # headroom for the final carry
+    half = 1 << (c - 1)
+    full = 1 << c
+    mask = jnp.uint32(full - 1)
+    nlimbs = scalar_limbs.shape[-1]
+
+    digits = []
+    carry = jnp.zeros(scalar_limbs.shape[:-1], dtype=jnp.int32)
+    for w in range(n_windows):
+        bit = w * c
+        li, off = bit >> 5, bit & 31
+        if li >= nlimbs:
+            raw = jnp.zeros(scalar_limbs.shape[:-1], dtype=jnp.uint32)
+        else:
+            raw = scalar_limbs[..., li] >> off
+            if off + c > 32 and li + 1 < nlimbs:
+                raw = raw | (scalar_limbs[..., li + 1] << (32 - off))
+        v = (raw & mask).astype(jnp.int32) + carry
+        is_high = v > half
+        digits.append(jnp.where(is_high, v - full, v))
+        carry = is_high.astype(jnp.int32)
+    return jnp.stack(digits, axis=0)
+
+
+def _segmented_scan_add(group: Group, points: Projective, flags):
+    """Inclusive segmented prefix-sum of points under EC add.
+
+    flags[i]=True marks the first element of a segment. Hillis-Steele over
+    log2(N) steps driven by ``lax.scan`` with a *traced* shift, so the graph
+    contains exactly ONE complete-add instance however large N is — essential
+    on compile-bound hosts and cheap for XLA to schedule. Work is N·log N
+    point adds (vs ~2N for Blelloch), all batched over N lanes.
+    """
+    n = points.x.shape[0]
+    steps = max(1, (n - 1).bit_length())
+    shifts = jnp.asarray([1 << k for k in range(steps)], dtype=jnp.int32)
+    idx = jnp.arange(n, dtype=jnp.int32)
+
+    def roll(a, d):
+        return jnp.roll(a, d, axis=0)
+
+    def body(carry, d):
+        f, p = carry
+        p_prev = jax.tree_util.tree_map(lambda a: roll(a, d), p)
+        f_prev = roll(f, d)
+        combined = group.add(p_prev, p)
+        # keep own value when this lane already starts a segment or the
+        # source lane is out of range (i < d)
+        use_self = f | (idx < d)
+        newp = pselect(use_self, p, combined)
+        newf = f | (f_prev & (idx >= d))
+        return (newf, newp), None
+
+    (_, out), _ = jax.lax.scan(body, (flags, points), shifts)
+    return out
+
+
+def _prefix_scan_add(group: Group, pts: Projective) -> Projective:
+    """Inclusive prefix-sum of points (same roll-scan trick, no flags)."""
+    n = pts.x.shape[0]
+    steps = max(1, (n - 1).bit_length())
+    shifts = jnp.asarray([1 << k for k in range(steps)], dtype=jnp.int32)
+    idx = jnp.arange(n, dtype=jnp.int32)
+
+    def body(p, d):
+        p_prev = jax.tree_util.tree_map(lambda a: jnp.roll(a, d, axis=0), p)
+        combined = group.add(p_prev, p)
+        return pselect(idx < d, p, combined), None
+
+    out, _ = jax.lax.scan(body, pts, shifts)
+    return out
+
+
+def _window_sum(group: Group, digits_w, px, py, c: int) -> Projective:
+    """Bucket-accumulate one window; returns sum_k k * B_k as a point."""
+    f = group.f
+    n = digits_w.shape[0]
+    m_buckets = 1 << (c - 1)
+
+    keys = jnp.abs(digits_w)                      # bucket index, 0..2^(c-1)
+    order = jnp.argsort(keys)
+    k_sorted = keys[order]
+    d_sorted = digits_w[order]
+    x_s = px[order]
+    y_s = py[order]
+    y_s = jnp.where((d_sorted < 0)[..., None], f.neg(y_s), y_s)
+
+    # lift to projective; zero-digit lanes become identity (dropped later)
+    valid = (k_sorted != 0)
+    ones = jnp.broadcast_to(group.one_mont, x_s.shape)
+    z_s = jnp.where(valid[..., None], ones, jnp.zeros_like(ones))
+    y_lift = jnp.where(valid[..., None], y_s,
+                       jnp.broadcast_to(group.one_mont, y_s.shape))
+    leaves = Projective(jnp.where(valid[..., None], x_s, jnp.zeros_like(x_s)),
+                        y_lift, z_s)
+
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), k_sorted[1:] != k_sorted[:-1]])
+    scanned = _segmented_scan_add(group, leaves, first)
+
+    last = jnp.concatenate(
+        [k_sorted[1:] != k_sorted[:-1], jnp.ones((1,), bool)])
+    # scatter segment tails into buckets; invalid/zero lanes -> dropped (OOB)
+    idx = jnp.where(last & (k_sorted > 0), k_sorted, m_buckets + 1)
+    ident = group.identity((m_buckets + 1,))
+    buckets = jax.tree_util.tree_map(
+        lambda bz, vals: bz.at[idx].set(vals, mode="drop"),
+        ident, scanned)
+
+    # weighted reduction: sum_k k*B_k = sum_{j>=1} (sum_{k>=j} B_k).
+    # reverse buckets 1..M, prefix-scan twice; the last lane of the second
+    # scan is sum_j suffix_j. Two add instances in the graph total.
+    rev = jax.tree_util.tree_map(lambda a: a[1:][::-1], buckets)
+    r = _prefix_scan_add(group, rev)
+    rr = _prefix_scan_add(group, r)
+    return jax.tree_util.tree_map(lambda a: a[-1], rr)
+
+
+def _horner_windows(group: Group, window_sums: Projective, c: int) -> Projective:
+    """sum_w 2^(c*w) * W_w, highest window first through c doublings."""
+    top = jax.tree_util.tree_map(lambda a: a[-1], window_sums)
+    rest = jax.tree_util.tree_map(lambda a: a[-2::-1], window_sums)
+
+    def body(acc, wsum):
+        acc = jax.lax.fori_loop(0, c, lambda _, a: group.dbl(a), acc)
+        return group.add(acc, wsum), None
+
+    out, _ = jax.lax.scan(body, top, rest)
+    return out
+
+
+def msm_impl(group: Group, scalar_limbs, px_mont, py_mont, c: int,
+             nbits: int) -> Projective:
+    """Jit-friendly core: canonical scalar limbs + Montgomery affine points."""
+    digits = _signed_digits(scalar_limbs, c, nbits)     # (W, N)
+
+    def per_window(dw):
+        return _window_sum(group, dw, px_mont, py_mont, c)
+
+    window_sums = jax.lax.map(per_window, digits)
+    return _horner_windows(group, window_sums, c)
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_msm(curve_name: str, c: int, nbits: int):
+    group = get_group(curve_name)
+
+    @jax.jit
+    def run(scalar_limbs, px, py):
+        return msm_impl(group, scalar_limbs, px, py, c, nbits)
+
+    return run
+
+
+def msm(curve_name: str, scalars, points_x, points_y,
+        cfg: MSMConfig | None = None) -> Projective:
+    """MSM over canonical-form inputs. Returns a Montgomery-form projective
+    point (use Group.to_affine_canonical to read out).
+
+    scalars: (N, Ls) u32 limbs (or (batch, N, Ls)); points: (N, L) u32 each.
+    """
+    cfg = cfg or MSMConfig()
+    curve = get_curve(curve_name)
+    group = get_group(curve_name)
+    fq, fr = curve.fq, curve.fr
+
+    if cfg.are_scalars_montgomery_form:
+        scalars = fr.from_mont(scalars)
+    if cfg.are_points_montgomery_form:
+        px, py = points_x, points_y
+    else:
+        px, py = fq.to_mont(points_x), fq.to_mont(points_y)
+
+    if scalars.ndim == 3:  # batch axis
+        results = [msm(curve_name, scalars[i], points_x, points_y,
+                       dataclasses.replace(cfg, batch_size=1))
+                   for i in range(scalars.shape[0])]
+        return jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs, axis=0), *results)
+
+    n = scalars.shape[0]
+    c = cfg.c or _auto_c(n)
+    nbits = curve.fr.modulus.bit_length()
+    return _jitted_msm(curve_name, c, nbits)(scalars, px, py)

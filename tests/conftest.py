@@ -16,6 +16,11 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: the CI host is single-core, so XLA:CPU compiles
+# dominate test time; cache them across processes/runs.
+os.makedirs("/root/.cache/jax_local", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_local")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

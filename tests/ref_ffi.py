@@ -84,15 +84,22 @@ def _scalar_bytes(field: str) -> int:
                          else field).nlimbs, 1) * 4
 
 
-# -- poseidon2 ---------------------------------------------------------------
+# -- poseidon / poseidon2 ------------------------------------------------------
+
+def poseidon_hash(field: str, t: int, inputs: np.ndarray,
+                  domain_tag: np.ndarray | None = None) -> np.ndarray:
+    """Original Poseidon via {field}_create_poseidon_hasher."""
+    return poseidon2_hash(field, t, inputs, domain_tag, creator="poseidon")
+
 
 def poseidon2_hash(field: str, t: int, inputs: np.ndarray,
-                   domain_tag: np.ndarray | None = None) -> np.ndarray:
+                   domain_tag: np.ndarray | None = None,
+                   creator: str = "poseidon2") -> np.ndarray:
     """inputs: (batch, n_scalars_in) uint8-viewable scalar array (LE bytes).
     Returns (batch, scalar_bytes) uint8 digests."""
     dev, fld, hsh = _libs(field)
     sb = _scalar_bytes(field)
-    create = getattr(fld, f"{field}_create_poseidon2_hasher")
+    create = getattr(fld, f"{field}_create_{creator}_hasher")
     create.restype = C.c_void_p
     create.argtypes = [C.c_uint, C.c_void_p, C.c_uint]
     tag_buf = None

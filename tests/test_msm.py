@@ -1,0 +1,92 @@
+"""MSM vs pure-int oracle (mirrors icicle/tests/test_curve_api.cpp MSM cases:
+random scalars, small/large windows, batch, skewed distributions)."""
+
+import numpy as np
+import pytest
+
+from icicle_tpu.curves.params import get_curve
+from icicle_tpu.curves.group import get_group
+from icicle_tpu.ops.msm import msm, MSMConfig
+from tests.ec_ref import ec_mul, ec_add, msm_ref, INF
+
+
+def make_inputs(curve_name, n, rng, skew=None):
+    curve = get_curve(curve_name)
+    mod = curve.fq.modulus
+    gen = (curve.gen_x, curve.gen_y)
+    # random points = k*G with random small k (oracle-side cheap)
+    ks = [int(k) for k in rng.integers(1, 1 << 28, size=n)]
+    pts = [ec_mul(gen, k, mod) for k in ks]
+    if skew == "zeros":
+        scalars = [0] * (n // 2) + [int(s) for s in rng.integers(0, 1 << 16, size=n - n // 2)]
+    elif skew == "equal":
+        s = int.from_bytes(rng.bytes(40), "little") % curve.fr.modulus
+        scalars = [s] * n
+    else:
+        scalars = [int.from_bytes(rng.bytes(40), "little") % curve.fr.modulus
+                   for _ in range(n)]
+    return scalars, pts
+
+
+def run_and_read(curve_name, scalars, pts, cfg=None):
+    curve = get_curve(curve_name)
+    g = get_group(curve_name)
+    fr, fq = curve.fr, curve.fq
+    s_dev = fr.from_ints(scalars)
+    px = fq.from_ints([p[0] for p in pts])
+    py = fq.from_ints([p[1] for p in pts])
+    res = msm(curve_name, s_dev, px, py, cfg)
+    x, y = g.to_affine_canonical(res)
+    xi, yi = int(fq.to_ints(x)), int(fq.to_ints(y))
+    return INF if (xi == 0 and yi == 0) else (xi, yi)
+
+
+@pytest.mark.parametrize("curve_name", ["bn254", "bls12_377"])
+@pytest.mark.parametrize("n", [13, 64])
+def test_msm_random(curve_name, n):
+    rng = np.random.default_rng(42 + n)
+    scalars, pts = make_inputs(curve_name, n, rng)
+    got = run_and_read(curve_name, scalars, pts)
+    want = msm_ref(scalars, pts, get_curve(curve_name).fq.modulus)
+    assert got == want
+
+
+@pytest.mark.parametrize("skew", ["zeros", "equal"])
+def test_msm_skewed(skew):
+    rng = np.random.default_rng(5)
+    scalars, pts = make_inputs("bn254", 32, rng, skew=skew)
+    got = run_and_read("bn254", scalars, pts)
+    want = msm_ref(scalars, pts, get_curve("bn254").fq.modulus)
+    assert got == want
+
+
+def test_msm_explicit_window():
+    rng = np.random.default_rng(9)
+    scalars, pts = make_inputs("bn254", 16, rng)
+    mod = get_curve("bn254").fq.modulus
+    want = msm_ref(scalars, pts, mod)
+    for c in (4, 8, 13):
+        got = run_and_read("bn254", scalars, pts, MSMConfig(c=c))
+        assert got == want, f"c={c}"
+
+
+def test_msm_batch():
+    rng = np.random.default_rng(17)
+    curve = get_curve("bn254")
+    g = get_group("bn254")
+    fr, fq = curve.fr, curve.fq
+    n, b = 16, 3
+    _, pts = make_inputs("bn254", n, rng)
+    batches = [[int.from_bytes(rng.bytes(40), "little") % fr.modulus
+                for _ in range(n)] for _ in range(b)]
+    import jax.numpy as jnp
+    s_dev = jnp.stack([fr.from_ints(s) for s in batches])
+    px = fq.from_ints([p[0] for p in pts])
+    py = fq.from_ints([p[1] for p in pts])
+    res = msm("bn254", s_dev, px, py)
+    x, y = g.to_affine_canonical(res)
+    for i in range(b):
+        xi = int(fq.to_ints(x[i]))
+        yi = int(fq.to_ints(y[i]))
+        want = msm_ref(batches[i], pts, fq.modulus)
+        assert (xi, yi) == want
