@@ -31,6 +31,15 @@ class Hash:
         """Digest size in bytes (reference Hash::output_size())."""
         return self.digest_words * 4
 
+    def with_input_words(self, words: int) -> "Hash":
+        """A view of this hash pinned to a fixed input width — used by Merkle
+        layers to declare arity (reference passes explicit input sizes to the
+        hash creators, e.g. create_keccak_256_hash(input_size))."""
+        import copy
+        h = copy.copy(self)
+        h.default_input_words = words
+        return h
+
     # -- host byte boundary ----------------------------------------------------
     def hash_bytes(self, data: bytes, batch: int = 1) -> bytes:
         """Hash `batch` equal-size byte chunks (reference Hash::hash byte API).
