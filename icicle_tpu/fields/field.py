@@ -210,10 +210,22 @@ class Field:
         return self.params.two_adicity
 
 
+# Field-like objects registered by other modules (e.g. composite rings that
+# reuse the Field machinery — icicle_tpu.rings.babykoala).
+_EXTRA_FIELDS: dict[str, "Field"] = {}
+
+
+def register_field_object(f: "Field") -> None:
+    _EXTRA_FIELDS[f.name] = f
+
+
 @functools.lru_cache(maxsize=None)
 def get_field(name: str) -> Field:
+    if name in _EXTRA_FIELDS:
+        return _EXTRA_FIELDS[name]
     if name not in _PARAMS:
-        raise KeyError(f"unknown field {name!r}; known: {sorted(_PARAMS)}")
+        raise KeyError(f"unknown field {name!r}; known: "
+                       f"{sorted(_PARAMS) + sorted(_EXTRA_FIELDS)}")
     return Field(_PARAMS[name])
 
 

@@ -26,6 +26,9 @@ from icicle_tpu.math.u32 import U32, MASK16
 
 _U = jnp.uint32
 
+#: montmul lowering: "auto" | "unrolled" | "loop" (see BigField.mul_mont)
+MUL_MODE = "auto"
+
 
 def unstack(x):
     """(..., L) array -> list of L (...,) arrays."""
@@ -303,8 +306,30 @@ class BigField:
         out = jnp.stack([lo, hi], axis=-1)
         return out.reshape(a.shape[:-1] + (2 * a.shape[-1],))
 
+    def _mul_mont_unrolled(self, a, b):
+        """Straight-line comba + CIOS REDC: O((2L)^2) primitives, fully
+        fusable by XLA — the TPU hot-path form (no sequential loop overhead)."""
+        a16 = _split16(unstack(a))
+        b16 = _split16(unstack(b))
+        t = self._comba16(a16, b16)
+        return stack(self._redc16(t))
+
     def mul_mont(self, a, b):
-        """a * b * R^-1 mod p on stacked (..., L) arrays."""
+        """a * b * R^-1 mod p on stacked (..., L) arrays.
+
+        Two lowerings of the same math:
+          * "unrolled": straight-line comba/CIOS — fastest on TPU, where XLA
+            fuses it into one big VPU kernel; graph cost O(L^2) primitives.
+          * "loop": scan/fori based SOS — tiny graphs, for compile-bound hosts
+            (single-core CPU CI) and very large L.
+        Selected by MUL_MODE ("auto" picks unrolled on TPU, loop on CPU).
+        """
+        mode = MUL_MODE
+        if mode == "auto":
+            import jax
+            mode = "loop" if jax.default_backend() == "cpu" else "unrolled"
+        if mode == "unrolled":
+            return self._mul_mont_unrolled(a, b)
         a16 = self.split16_stacked(a)
         b16 = self.split16_stacked(b)
         return stack(self._mul_mont_stacked(a16, b16))

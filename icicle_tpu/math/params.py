@@ -53,6 +53,9 @@ class FieldParams:
     rou: int | None = None
     nonresidue: int | None = None  # extension-field nonresidue (signed)
     generator: int | None = None   # multiplicative generator, if known
+    # For composite-modulus rings the 2-adicity of (modulus-1) is meaningless;
+    # rings set the order of `rou` explicitly (reference omegas_count).
+    two_adicity_override: int | None = None
 
     @property
     def bits(self) -> int:
@@ -88,6 +91,8 @@ class FieldParams:
 
     @property
     def two_adicity(self) -> int:
+        if self.two_adicity_override is not None:
+            return self.two_adicity_override
         s, m = 0, self.modulus - 1
         while m % 2 == 0:
             m //= 2
