@@ -122,30 +122,73 @@ def pselect(cond, p: Projective, q: Projective) -> Projective:
 
 
 class Group:
-    """Point ops bound to a curve's base field engine (G1).
+    """Point ops bound to a curve's coordinate field engine.
 
-    All point tensors hold Montgomery-form coordinates; `from_affine_canonical`
-    / `to_affine_canonical` convert at the API boundary.
+    G1 uses the base field; G2 (g2=True) uses the quadratic extension (or the
+    base field itself for bw6_761, whose G2 is defined over Fq —
+    curves/params/bw6_761.h). All point tensors hold Montgomery-form
+    coordinates; `from_affine_canonical` / `to_affine_canonical` convert at
+    the API boundary.
     """
 
-    def __init__(self, curve: Curve):
+    def __init__(self, curve: Curve, g2: bool = False):
         self.curve = curve
-        self.f = curve.fq.engine
+        self.g2 = g2
         fq = curve.fq
-        r = fq.params.r  # Montgomery R
+        r = fq.params.r  # Montgomery R of the base field
         pmod = fq.modulus
-        nl = fq.nlimbs
+        base_nl = fq.nlimbs
 
-        def const_mont(v: int):
+        def base_mont(v: int):
             vm = (v * r) % pmod
-            return jnp.asarray(
-                np.array([(vm >> (32 * i)) & 0xFFFFFFFF for i in range(nl)],
-                         dtype=np.uint32))
+            return np.array([(vm >> (32 * i)) & 0xFFFFFFFF for i in range(base_nl)],
+                            dtype=np.uint32)
 
-        self.b3_mont = const_mont(curve.b3)
-        self.one_mont = const_mont(1)
+        if not g2:
+            self.coord_field = fq
+            self.f = fq.engine
+            nl = base_nl
+
+            def const_mont(v):
+                return jnp.asarray(base_mont(v))
+
+            gen_x, gen_y = curve.gen_x, curve.gen_y
+            b3 = curve.b3
+            one = 1
+        else:
+            p = curve.params
+            if p.g2_b is None:
+                raise ValueError(f"curve {curve.name} has no G2")
+            if p.g2_field == "fq":
+                self.coord_field = fq
+                self.f = fq.engine
+                nl = base_nl
+
+                def const_mont(v):
+                    return jnp.asarray(base_mont(v[0] if isinstance(v, tuple) else v))
+
+                gen_x, gen_y = p.g2_gen_x[0], p.g2_gen_y[0]
+                b3 = (3 * p.g2_b[0]) % pmod
+                one = 1
+            else:
+                from icicle_tpu.fields.extension import get_ext_field
+                ef = get_ext_field(p.base_field)
+                self.coord_field = ef
+                self.f = ef.engine
+                nl = ef.nlimbs  # 2 * base limbs, flat
+
+                def const_mont(v):
+                    re, im = v if isinstance(v, tuple) else (v, 0)
+                    return jnp.asarray(np.concatenate([base_mont(re), base_mont(im)]))
+
+                gen_x, gen_y = p.g2_gen_x, p.g2_gen_y
+                b3 = ((3 * p.g2_b[0]) % pmod, (3 * p.g2_b[1]) % pmod)
+                one = (1, 0)
+
+        self.b3_mont = const_mont(b3)
+        self.one_mont = const_mont(one)
         self.zero_limbs = jnp.zeros((nl,), dtype=jnp.uint32)
-        self.gen_mont = Affine(const_mont(curve.gen_x), const_mont(curve.gen_y))
+        self.gen_mont = Affine(const_mont(gen_x), const_mont(gen_y))
         self.nlimbs = nl
 
     # -- constructors ---------------------------------------------------------
@@ -218,7 +261,7 @@ class Group:
         Treats (0, 0) as the identity (matches the reference's Affine zero
         convention, curves/affine.h).
         """
-        fq = self.curve.fq
+        fq = self.coord_field
         xm, ym = fq.to_mont(x), fq.to_mont(y)
         is_inf = self.f.is_zero(x) & self.f.is_zero(y)
         shape = x.shape
@@ -231,7 +274,7 @@ class Group:
 
         One Fermat inversion (runs as a scan of ~2·bits montmuls).
         """
-        fq = self.curve.fq
+        fq = self.coord_field
         z_can = fq.from_mont(p.z)
         zinv = fq.inv(z_can)  # canonical-domain inverse; 0 -> 0
         zinv_m = fq.to_mont(zinv)
@@ -240,10 +283,11 @@ class Group:
         return x, y
 
 
-_GROUPS: dict[str, Group] = {}
+_GROUPS: dict[tuple[str, bool], Group] = {}
 
 
-def get_group(curve_name: str) -> Group:
-    if curve_name not in _GROUPS:
-        _GROUPS[curve_name] = Group(get_curve(curve_name))
-    return _GROUPS[curve_name]
+def get_group(curve_name: str, g2: bool = False) -> Group:
+    key = (curve_name, g2)
+    if key not in _GROUPS:
+        _GROUPS[key] = Group(get_curve(curve_name), g2=g2)
+    return _GROUPS[key]

@@ -30,6 +30,27 @@ _U = jnp.uint32
 MUL_MODE = "auto"
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def mul_mode(mode: str):
+    """Trace-time override of the montmul lowering.
+
+    Use "unrolled" around code regions that sit INSIDE a lax.scan body and run
+    on TPU: device-loop iterations cost ~270us each there, so a scan body must
+    be one big straight-line block, not nested micro-loops. Keep the override
+    scoped — unrolling everything makes graphs uncompilable.
+    """
+    global MUL_MODE
+    old = MUL_MODE
+    MUL_MODE = mode
+    try:
+        yield
+    finally:
+        MUL_MODE = old
+
+
 def unstack(x):
     """(..., L) array -> list of L (...,) arrays."""
     return [x[..., i] for i in range(x.shape[-1])]
@@ -326,8 +347,12 @@ class BigField:
         """
         mode = MUL_MODE
         if mode == "auto":
-            import jax
-            mode = "loop" if jax.default_backend() == "cpu" else "unrolled"
+            # measured: the unrolled form makes XLA graph compiles pathological
+            # at MSM scale on both CPU (single-core LLVM) and TPU (>25 min);
+            # hot paths that need straight-line montmul use the Pallas kernels
+            # (icicle_tpu/pallas/*) instead, which compile the unroll inside a
+            # single Mosaic kernel body.
+            mode = "loop"
         if mode == "unrolled":
             return self._mul_mont_unrolled(a, b)
         a16 = self.split16_stacked(a)

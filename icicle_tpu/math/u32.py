@@ -10,7 +10,9 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 U32 = jnp.uint32
-MASK16 = jnp.uint32(0xFFFF)
+# plain python int: folds as a literal in jaxprs (a jnp.uint32 scalar is a 0-d
+# device array, which Pallas kernels would have to capture as an input)
+MASK16 = 0xFFFF
 
 
 def mullo(a, b):

@@ -45,6 +45,7 @@ class MSMConfig:
     batch_size: int = 1
     are_scalars_montgomery_form: bool = False
     are_points_montgomery_form: bool = False
+    g2: bool = False               # operate on the G2 group (msm.h G2 variants)
 
 
 def _auto_c(n: int) -> int:
@@ -208,8 +209,8 @@ def msm_impl(group: Group, scalar_limbs, px_mont, py_mont, c: int,
 
 
 @functools.lru_cache(maxsize=None)
-def _jitted_msm(curve_name: str, c: int, nbits: int):
-    group = get_group(curve_name)
+def _jitted_msm(curve_name: str, c: int, nbits: int, g2: bool = False):
+    group = get_group(curve_name, g2=g2)
 
     @jax.jit
     def run(scalar_limbs, px, py):
@@ -223,12 +224,13 @@ def msm(curve_name: str, scalars, points_x, points_y,
     """MSM over canonical-form inputs. Returns a Montgomery-form projective
     point (use Group.to_affine_canonical to read out).
 
-    scalars: (N, Ls) u32 limbs (or (batch, N, Ls)); points: (N, L) u32 each.
+    scalars: (N, Ls) u32 limbs (or (batch, N, Ls)); points: (N, L) u32 each
+    (G2: L = coordinate-field width, e.g. 2x base limbs flat).
     """
     cfg = cfg or MSMConfig()
     curve = get_curve(curve_name)
-    group = get_group(curve_name)
-    fq, fr = curve.fq, curve.fr
+    group = get_group(curve_name, g2=cfg.g2)
+    fq, fr = group.coord_field, curve.fr
 
     if cfg.are_scalars_montgomery_form:
         scalars = fr.from_mont(scalars)
@@ -247,4 +249,4 @@ def msm(curve_name: str, scalars, points_x, points_y,
     n = scalars.shape[0]
     c = cfg.c or _auto_c(n)
     nbits = curve.fr.modulus.bit_length()
-    return _jitted_msm(curve_name, c, nbits)(scalars, px, py)
+    return _jitted_msm(curve_name, c, nbits, cfg.g2)(scalars, px, py)
