@@ -84,6 +84,33 @@ def _scalar_bytes(field: str) -> int:
                          else field).nlimbs, 1) * 4
 
 
+# -- byte hashes (keccak/sha3/blake2s/blake3) ------------------------------------
+
+def byte_hash(name: str, inputs: np.ndarray, digest_bytes: int,
+              field: str = "babybear") -> np.ndarray:
+    """Golden digests via icicle_create_<name>(0) + icicle_hasher_hash.
+    inputs: (batch, nbytes) uint8. Returns (batch, digest_bytes) uint8."""
+    dev, fld, hsh = _libs(field)
+    create = getattr(hsh, f"icicle_create_{name}")
+    create.restype = C.c_void_p
+    create.argtypes = [C.c_uint64]
+    handle = create(0)
+    assert handle, f"create {name} failed"
+    do_hash = hsh.icicle_hasher_hash
+    do_hash.restype = C.c_int
+    do_hash.argtypes = [C.c_void_p, C.c_void_p, C.c_uint64, C.c_void_p, C.c_void_p]
+    data = np.ascontiguousarray(inputs, dtype=np.uint8)
+    batch = data.shape[0]
+    cfg = HashConfig(stream=None, batch=batch, are_inputs_on_device=False,
+                     are_outputs_on_device=False, is_async=False, ext=None)
+    out = np.zeros((batch, digest_bytes), dtype=np.uint8)
+    rc = do_hash(handle, data.ctypes.data, data.size // batch, C.byref(cfg),
+                 out.ctypes.data)
+    assert rc == 0, f"icicle_hasher_hash rc={rc}"
+    hsh.icicle_hasher_delete(handle)
+    return out
+
+
 # -- poseidon / poseidon2 ------------------------------------------------------
 
 def poseidon_hash(field: str, t: int, inputs: np.ndarray,
