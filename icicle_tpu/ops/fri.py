@@ -37,6 +37,7 @@ from icicle_tpu.ops.hash.hash import Hash
 from icicle_tpu.ops.merkle import MerkleTree, MerkleProof
 from icicle_tpu.runtime.config import MerkleTreeConfig
 from icicle_tpu.utils import keccak_py
+from icicle_tpu.utils import native as _native
 
 
 # -- std::mt19937 + libstdc++ uniform_int_distribution replica -----------------
@@ -107,7 +108,7 @@ class FriTranscriptConfig:
     nonce_label: bytes = b""
     public_state: bytes = b""
     seed: int = 0
-    hasher: Callable[[bytes], bytes] = keccak_py.keccak_256
+    hasher: Callable[[bytes], bytes] = _native.keccak_256
 
 
 @dataclasses.dataclass
@@ -124,6 +125,52 @@ class FriProof:
 
     def round_root(self, round_idx: int) -> np.ndarray:
         return self.query_proofs[0][round_idx][0].root
+
+    def serialize(self, f: Field) -> bytes:
+        """Binary proof encoding (reference F22, fri_proof_serializer.h
+        structure: nof_queries/rounds, per-slot merkle proofs, final poly,
+        pow nonce)."""
+        import struct
+        eb = max(f.nlimbs, 1) * 4
+        out = bytearray()
+        out += struct.pack("<QQQ", len(self.query_proofs), self.nof_rounds,
+                           len(self.final_poly))
+        for per_round in self.query_proofs:
+            for pr, prs in per_round:
+                for p in (pr, prs):
+                    blob = p.serialize()
+                    out += struct.pack("<I", len(blob))
+                    out += blob
+        for v in self.final_poly:
+            out += int(v).to_bytes(eb, "little")
+        out += struct.pack("<Q", self.pow_nonce)
+        return bytes(out)
+
+    @classmethod
+    def deserialize(cls, f: Field, data: bytes) -> "FriProof":
+        import struct
+        eb = max(f.nlimbs, 1) * 4
+        off = 0
+        nq, nr, nf = struct.unpack_from("<QQQ", data, off)
+        off += 24
+        qps = []
+        for _ in range(nq):
+            per_round = []
+            for _ in range(nr):
+                pair = []
+                for _ in range(2):
+                    (ln,) = struct.unpack_from("<I", data, off)
+                    off += 4
+                    pair.append(MerkleProof.deserialize(data[off:off + ln]))
+                    off += ln
+                per_round.append(tuple(pair))
+            qps.append(per_round)
+        final = []
+        for _ in range(nf):
+            final.append(int.from_bytes(data[off:off + eb], "little"))
+            off += eb
+        (nonce,) = struct.unpack_from("<Q", data, off)
+        return cls(qps, final, nonce)
 
 
 class FriTranscript:

@@ -23,7 +23,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from icicle_tpu.rings.babykoala import get_zq, Q, RQ_DEGREE
-from icicle_tpu.utils import keccak_py
+from icicle_tpu.utils import native as keccak_py
 
 
 def _to_u64(x) -> np.ndarray:

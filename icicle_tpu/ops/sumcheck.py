@@ -34,6 +34,7 @@ import jax.numpy as jnp
 from icicle_tpu.fields.field import Field
 from icicle_tpu.ops.program import ReturningValueProgram
 from icicle_tpu.utils import keccak_py
+from icicle_tpu.utils import native as _native
 
 MAX_COMBINE_POLY_DEG = 6   # sumcheck.h:12
 MAX_NOF_POLYNOMIALS = 8    # sumcheck.h:14
@@ -55,7 +56,7 @@ class SumcheckTranscriptConfig:
     round_challenge_label: bytes = b""
     seed: int = 0
     little_endian: bool = True
-    hasher: Callable[[bytes], bytes] = keccak_py.keccak_256
+    hasher: Callable[[bytes], bytes] = _native.keccak_256
 
 
 @dataclasses.dataclass
