@@ -152,6 +152,67 @@ def _ct_stages(f: Field, x, twiddles, logn: int):
     return x
 
 
+def _ct_stages_vecfirst(f: Field, x, twiddles, logn: int):
+    """DIT butterflies with the vector axis FIRST: x is (n, batch...)+lim.
+
+    The batch sits in the minor dims, so every butterfly op runs with full
+    128-lane tiles regardless of the stage's block size m — the layout that
+    makes large NTTs HBM-bound instead of lane-starved.
+    """
+    n = 1 << logn
+    lim = f.limb_shape
+    rest = x.shape[1:]
+    for s in range(logn):
+        m = 1 << s
+        stride = n // (2 * m)
+        tw = twiddles[::stride][:m]                      # (m,)+lim
+        # broadcast twiddles over block axis (0) and batch dims
+        tw = tw.reshape((1, m) + (1,) * (len(rest) - len(lim)) + lim)
+        xr = x.reshape((n // (2 * m), 2, m) + rest)
+        even = xr[:, 0]
+        odd = xr[:, 1]
+        t = f.mul_mont(odd, tw)
+        x = jnp.stack([f.add(even, t), f.sub(even, t)], axis=1)
+        x = x.reshape((n,) + rest)
+    return x
+
+
+def _ntt_vecfirst(f: Field, x, dir: NTTDir, logn: int):
+    """Full natural->natural NTT along axis 0 of (n, batch...)+lim, including
+    the bit-reversal row gather and inverse 1/n scaling."""
+    dom = get_domain(f, logn)
+    rev = jnp.asarray(bit_reverse_indices(1 << logn))
+    x = jnp.take(x, rev, axis=0)
+    tw = dom.twiddles if dir == NTTDir.FORWARD else dom.twiddles_inv
+    y = _ct_stages_vecfirst(f, x, tw, logn)
+    if dir == NTTDir.INVERSE:
+        y = f.mul_mont(y, dom.n_inv_mont)
+    return y
+
+
+_FOUR_STEP_MIN_LOGN = 16
+
+
+def _ntt_four_step(f: Field, x, dir: NTTDir, logn: int):
+    """Single-chip four-step NTT for large vectors: n = n1*n2 viewed as an
+    (n1, n2) matrix — column NTTs, w^(k1*j2) twiddles, one transpose, row
+    NTTs. Both passes run vector-major with >= 2^(logn/2) lanes of batch
+    (the single-chip analog of parallel/ntt_sharded.py; reference hierarchy-1
+    split, backend/cpu/include/ntt_cpu.h:79-100)."""
+    from icicle_tpu.parallel import ntt_sharded as _ns
+    lim = f.limb_shape
+    log_n1 = logn // 2
+    n1, n2 = 1 << log_n1, 1 << (logn - log_n1)
+    tw = _ns._twiddle_matrix(f, n1, n2, dir)             # (n1, n2)+lim
+    xm = x.reshape((n1, n2) + lim)
+    y = _ntt_vecfirst(f, xm, dir, log_n1)                # columns (axis 0)
+    y = f.mul_mont(y, tw)
+    y = jnp.swapaxes(y, 0, 1)                            # (n2, n1)+lim
+    y = _ntt_vecfirst(f, y, dir, logn - log_n1)          # rows (now axis 0)
+    # y[k2, k1] = X[k1 + n1*k2] -> flat natural order
+    return y.reshape((1 << logn,) + lim)
+
+
 def _ntt_xla(f: Field, x, dir: NTTDir, cfg: NTTConfig):
     axis = _vec_axis(f, x)
     n = x.shape[axis]
@@ -171,14 +232,30 @@ def _ntt_xla(f: Field, x, dir: NTTDir, cfg: NTTConfig):
             shifts = jnp.take(shifts, rev, axis=0)
         x = f.mul_mont(x, shifts)
 
-    # DIT wants bit-reversed input; if caller's input is natural, reverse it.
-    if not input_rev:
-        x = _take_vec(f, x, rev)
-    tw = dom.twiddles if dir == NTTDir.FORWARD else dom.twiddles_inv
-    y = _ct_stages(f, x, tw, logn)
+    # Core transform: pick a layout by shape. Natural input + large n with no
+    # batch -> four-step; batched -> vector-major; else classic DIT.
+    lim = f.limb_shape
+    batch_dims = x.shape[:_vec_axis(f, x)]
+    bsz = int(np.prod(batch_dims)) if batch_dims else 1
+    scaled = False
+    if not input_rev and bsz == 1 and logn >= _FOUR_STEP_MIN_LOGN:
+        flat = x.reshape((n,) + lim)
+        y = _ntt_four_step(f, flat, dir, logn).reshape(x.shape)
+        scaled = True
+    elif not input_rev and bsz >= 64:
+        xv = jnp.moveaxis(x, _vec_axis(f, x), 0)
+        yv = _ntt_vecfirst(f, xv, dir, logn)
+        y = jnp.moveaxis(yv, 0, _vec_axis(f, x))
+        scaled = True
+    else:
+        if not input_rev:
+            x = _take_vec(f, x, rev)
+        tw = dom.twiddles if dir == NTTDir.FORWARD else dom.twiddles_inv
+        y = _ct_stages(f, x, tw, logn)
     # y is natural-ordered now
     if dir == NTTDir.INVERSE:
-        y = f.mul_mont(y, dom.n_inv_mont)
+        if not scaled:
+            y = f.mul_mont(y, dom.n_inv_mont)
         if cfg.coset_gen is not None:
             inv_gen = pow(cfg.coset_gen, -1, f.modulus)
             shifts = _powers_mont(f, inv_gen, n)

@@ -1,0 +1,109 @@
+"""Multi-chip MSM over a jax.sharding.Mesh.
+
+The reference has NO inter-device MSM (its multi-GPU story is one host thread
+per device, docs/start/architecture/multi-device.md:47-66); this is new design
+space mandated by the scaling targets. Decomposition: shard (scalars, points)
+across devices, run the full window/bucket pipeline per shard inside
+shard_map, all_gather the per-device *window sums* (a few KB) over ICI, and
+tree-combine them on every device — comms are O(W * L * D) bytes, so scaling
+efficiency approaches 1 by construction.
+
+Window sums are combined across devices on-device; the final Horner over
+windows happens on host (ops/msm_tpu semantics).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from icicle_tpu.curves.params import get_curve
+from icicle_tpu.curves.group import get_group, Projective
+from icicle_tpu.curves.host_ec import ec_add, ec_dbl, INF
+from icicle_tpu.ops.msm import _auto_c
+from icicle_tpu.parallel.mesh import SHARD_AXIS
+
+
+def _combine_axis0(group, pts: Projective) -> Projective:
+    """Tree-combine (D, ...) points along axis 0 (log D add instances)."""
+    d = pts.x.shape[0]
+    while d > 1:
+        half = d // 2
+        rest = jax.tree_util.tree_map(lambda a: a[2 * half:], pts)
+        pts = group.add(jax.tree_util.tree_map(lambda a: a[:half], pts),
+                        jax.tree_util.tree_map(lambda a: a[half:2 * half], pts))
+        if rest.x.shape[0]:
+            pts = jax.tree_util.tree_map(
+                lambda a, b: jnp.concatenate([a, b], axis=0), pts, rest)
+        d = pts.x.shape[0]
+    return pts
+
+
+def msm_sharded(curve_name: str, scalars, points_x, points_y, mesh: Mesh,
+                c: int | None = None, backend: str = "xla",
+                lanes: int | None = None):
+    """Sharded MSM. Inputs are canonical global arrays (N divisible by mesh
+    size); returns canonical affine (x, y) python ints."""
+    from icicle_tpu.ops.msm_tpu import _jitted_pipeline, _plan
+
+    curve = get_curve(curve_name)
+    group = get_group(curve_name)
+    fq, fr = curve.fq, curve.fr
+    n = scalars.shape[0]
+    d = mesh.devices.size
+    assert n % d == 0
+    shard_n = n // d
+    nbits = fr.modulus.bit_length()
+    lanes = lanes or min(1024, max(8, shard_n // 8))
+    c, n_windows, k_steps, lanes = _plan(shard_n, c, nbits, lanes)
+
+    pipeline = _jitted_pipeline(curve_name, c, nbits, shard_n, lanes, backend)
+
+    def local(scal, px, py):
+        wsum = pipeline(scal, fq.to_mont(px), fq.to_mont(py))  # (W, L) x3
+        # gather every device's window sums and combine: result replicated
+        gathered = jax.tree_util.tree_map(
+            lambda a: jax.lax.all_gather(a, SHARD_AXIS), wsum)  # (D, W, L)
+        return _combine_axis0(group, gathered)
+
+    spec = P(SHARD_AXIS)
+    # check_vma off: scan carries inside the per-shard pipeline mix shard-
+    # varying data with unvarying twiddle/constant tables
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(spec, spec, spec),
+                   out_specs=Projective(P(), P(), P()),
+                   check_vma=False)
+    wsum = jax.jit(fn)(scalars, points_x, points_y)
+    wsum = jax.tree_util.tree_map(lambda a: a[0], wsum)  # drop combine axis
+
+    # host Horner over windows (same as msm_tpu)
+    p = fq.modulus
+    rinv = pow(1 << (32 * fq.nlimbs), -1, p)
+
+    def limb_int(a) -> int:
+        v = 0
+        for i, w in enumerate(np.asarray(a, dtype=np.uint32)):
+            v |= int(w) << (32 * i)
+        return v
+
+    pts = []
+    for w in range(n_windows):
+        z = limb_int(np.asarray(wsum.z)[w]) * rinv % p
+        if z == 0:
+            pts.append(INF)
+            continue
+        zi = pow(z, -1, p)
+        pts.append((limb_int(np.asarray(wsum.x)[w]) * rinv % p * zi % p,
+                    limb_int(np.asarray(wsum.y)[w]) * rinv % p * zi % p))
+
+    acc = pts[-1]
+    for w in range(n_windows - 2, -1, -1):
+        for _ in range(c):
+            acc = ec_dbl(acc, p)
+        acc = ec_add(acc, pts[w], p)
+    return acc if acc is not INF else (0, 0)

@@ -37,18 +37,29 @@ def _local_ntt(f: Field, x, axis: int, dir: NTTDir):
     return jnp.moveaxis(y, vec_axis, axis)
 
 
+_TW_MATRIX_CACHE: dict = {}
+
+
 def _twiddle_matrix(f: Field, n1: int, n2: int, dir: NTTDir):
     """T[k1, j2] = w_n^(k1*j2) (Montgomery form): one gather from the master
-    power table. Requires n1*n2 <= 2^31 so the index product fits int32."""
+    power table, built eagerly ONCE per (field, n1, n2, dir) — the 16M-element
+    gather must not sit inside the per-call jit graph. Requires n1*n2 <= 2^31
+    so the index product fits int32."""
+    key = (f.name, n1, n2, dir)
+    if key in _TW_MATRIX_CACHE:
+        return _TW_MATRIX_CACHE[key]
     n = n1 * n2
     logn = n.bit_length() - 1
-    dom = ntt_mod.get_domain(f, logn)
-    w = dom.w_int if dir == NTTDir.FORWARD else dom.w_inv_int
-    table = ntt_mod._powers_mont(f, w, n)  # (n,) + limbs
-    k1 = jnp.arange(n1, dtype=jnp.int32)[:, None]
-    j2 = jnp.arange(n2, dtype=jnp.int32)[None, :]
-    idx = (k1 * j2) & (n - 1)
-    return jnp.take(table, idx, axis=0)  # (n1, n2) + limbs
+    with jax.ensure_compile_time_eval():
+        dom = ntt_mod.get_domain(f, logn)
+        w = dom.w_int if dir == NTTDir.FORWARD else dom.w_inv_int
+        table = ntt_mod._powers_mont(f, w, n)  # (n,) + limbs
+        k1 = jnp.arange(n1, dtype=jnp.int32)[:, None]
+        j2 = jnp.arange(n2, dtype=jnp.int32)[None, :]
+        idx = (k1 * j2) & (n - 1)
+        out = jnp.take(table, idx, axis=0)  # (n1, n2) + limbs
+    _TW_MATRIX_CACHE[key] = jax.block_until_ready(out)
+    return _TW_MATRIX_CACHE[key]
 
 
 def ntt_sharded(f: Field, x, mesh: Mesh, dir: NTTDir = NTTDir.FORWARD,
