@@ -42,11 +42,15 @@ def _plan(n: int, c: int | None, nbits: int, lanes: int):
 
 @functools.lru_cache(maxsize=None)
 def _jitted_pipeline(curve_name: str, c: int, nbits: int, n: int, lanes: int,
-                     backend: str):
+                     backend: str, wchunk: int | None = None):
+    """Jitted window-chunk pipeline: processes `wchunk` windows at a time
+    (None = all W windows in one pass). Chunking bounds peak HBM at large n:
+    each chunk holds sorted point copies + fold outputs for wchunk windows."""
     curve = get_curve(curve_name)
     group = get_group(curve_name)
     f = curve.fq.engine
-    n_windows = (nbits + c) // c + 1
+    total_windows = (nbits + c) // c + 1
+    n_windows = wchunk or total_windows
     k_steps = n // lanes
     m_buckets = 1 << (c - 1)
     if backend == "pallas":
@@ -54,8 +58,7 @@ def _jitted_pipeline(curve_name: str, c: int, nbits: int, n: int, lanes: int,
     else:
         kernel = make_bucket_accum_xla(curve_name, n_windows, k_steps, lanes)
 
-    def run(scalars, px_mont, py_mont):
-        digits = _signed_digits(scalars, c, nbits)          # (W, N)
+    def run_chunk(digits, px_mont, py_mont):
         keys = jnp.abs(digits)
         order = jax.vmap(jnp.argsort)(keys)                 # (W, N)
         k_sorted = jnp.take_along_axis(keys, order, axis=1)
@@ -142,26 +145,61 @@ def _jitted_pipeline(curve_name: str, c: int, nbits: int, n: int, lanes: int,
         wsum = jax.tree_util.tree_map(lambda a: a[:, -1], r2)  # (W, L)
         return wsum
 
-    return jax.jit(run)
+    jit_chunk = jax.jit(run_chunk)
+    jit_digits = jax.jit(
+        lambda scalars: _signed_digits(scalars, c, nbits))
+
+    def run(scalars, px_mont, py_mont):
+        digits = jit_digits(scalars)                        # (W_total, N)
+        if n_windows >= total_windows:
+            return jit_chunk(digits, px_mont, py_mont)
+        # pad W to a chunk multiple with zero-digit windows (identity sums)
+        g = n_windows
+        n_chunks = -(-total_windows // g)
+        pad = n_chunks * g - total_windows
+        if pad:
+            digits = jnp.concatenate(
+                [digits, jnp.zeros((pad, digits.shape[1]), digits.dtype)],
+                axis=0)
+        parts = [jit_chunk(digits[i * g:(i + 1) * g], px_mont, py_mont)
+                 for i in range(n_chunks)]
+        full = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *parts)
+        return jax.tree_util.tree_map(lambda a: a[:total_windows], full)
+
+    return run
+
+
+def _auto_wchunk(n: int, n_windows: int, limb_words: int) -> int | None:
+    """Windows per pass bounded by a ~4GB HBM working-set budget (sorted
+    copies + fold outputs + transposes ~= 10 coord arrays per window)."""
+    per_window = n * limb_words * 4 * 10
+    budget = 4 << 30
+    g = max(1, budget // per_window)
+    return None if g >= n_windows else int(g)
 
 
 def msm_tpu(curve_name: str, scalars, points_x, points_y, c: int | None = None,
-            lanes: int = 1024, backend: str = "pallas"):
+            lanes: int = 1024, backend: str = "pallas",
+            wchunk: int | str | None = "auto"):
     """Full MSM. scalars (N, Ls) canonical; points canonical affine (N, L).
     Returns canonical affine (x, y) python ints (INF -> (0, 0)).
 
     backend: "pallas" (Mosaic kernel, TPU) or "xla" (lax.scan fold — the
-    reference lowering used by CPU tests)."""
+    reference lowering used by CPU tests). wchunk: windows processed per pass
+    ("auto" sizes to HBM)."""
     curve = get_curve(curve_name)
     group = get_group(curve_name)
     fq = curve.fq
     n = scalars.shape[0]
     nbits = curve.fr.modulus.bit_length()
     c, n_windows, k_steps, lanes = _plan(n, c, nbits, lanes)
+    if wchunk == "auto":
+        wchunk = _auto_wchunk(n, n_windows, fq.nlimbs)
 
     px_m = fq.to_mont(points_x)
     py_m = fq.to_mont(points_y)
-    wsum = _jitted_pipeline(curve_name, c, nbits, n, lanes, backend)(
+    wsum = _jitted_pipeline(curve_name, c, nbits, n, lanes, backend, wchunk)(
         scalars, px_m, py_m)
 
     # host Horner over windows (W ~ 20 points; python ints)

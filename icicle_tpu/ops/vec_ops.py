@@ -250,3 +250,23 @@ def to_flat(f: Field, arr, columns_batch: bool = False):
     if columns_batch:
         arr = jnp.moveaxis(arr, 0, 1)
     return arr.reshape((-1,) + f.limb_shape)
+
+
+# -- program execution (reference execute_program, registered via
+#    cpu_vec_ops.cpp:678 over CpuProgramExecutor) ---------------------------------
+
+def execute_program(f: Field, program, data: list, cfg: VecOpsConfig = _DEFAULT):
+    """Run a Program over parameter vectors in place semantics.
+
+    `data` holds `program.nof_parameters` equal-size vectors; input slots feed
+    the program, output slots are REPLACED by the program outputs (the
+    reference mutates the output-parameter buffers). Returns the new list.
+    """
+    outputs = program.execute(f, data)
+    out = list(data)
+    # outputs map to the parameter slots the lambda overwrote, which the
+    # Program records in order; predefined programs overwrite the tail slots.
+    n_out = len(outputs)
+    for i, val in enumerate(outputs):
+        out[program.nof_parameters - n_out + i] = val
+    return out

@@ -62,7 +62,7 @@ def msm_sharded(curve_name: str, scalars, points_x, points_y, mesh: Mesh,
     lanes = lanes or min(1024, max(8, shard_n // 8))
     c, n_windows, k_steps, lanes = _plan(shard_n, c, nbits, lanes)
 
-    pipeline = _jitted_pipeline(curve_name, c, nbits, shard_n, lanes, backend)
+    pipeline = _jitted_pipeline(curve_name, c, nbits, shard_n, lanes, backend, None)
 
     def local(scal, px, py):
         wsum = pipeline(scal, fq.to_mont(px), fq.to_mont(py))  # (W, L) x3

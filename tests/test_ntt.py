@@ -104,3 +104,42 @@ def test_polynomial_multiplication_via_ntt(rng):
         for j, y in enumerate(b_i):
             want[i + j] = (want[i + j] + x * y) % f.modulus
     assert list(f.to_ints(prod)) == want
+
+
+def test_ntt_goldilocks_roundtrip():
+    """Goldilocks NTT via the epsilon-reduction engine (2x32 limbs)."""
+    import numpy as np
+    from icicle_tpu.fields.field import get_field
+    from icicle_tpu.ops import ntt as N
+    from icicle_tpu.runtime.config import NTTConfig, NTTDir
+    f = get_field("goldilocks")
+    logn = 6
+    N.ntt_init_domain(f, logn)
+    rng = np.random.default_rng(3)
+    x = f.rand(rng, (1 << logn,))
+    e = N.ntt_jit(f, x, NTTDir.FORWARD, NTTConfig())
+    back = N.ntt_jit(f, e, NTTDir.INVERSE, NTTConfig())
+    assert np.array_equal(np.asarray(back), np.asarray(x))
+    # spot-check lane 0 = sum of inputs
+    ints = f.to_ints(x)
+    want0 = sum(int(v) for v in ints) % f.modulus
+    assert int(f.to_ints(e)[0]) == want0
+
+
+def test_ntt_stark252_roundtrip():
+    """stark252 (8-limb) NTT through the BigField engine."""
+    import numpy as np
+    from icicle_tpu.fields.field import get_field
+    from icicle_tpu.ops import ntt as N
+    from icicle_tpu.runtime.config import NTTConfig, NTTDir
+    f = get_field("stark252")
+    logn = 5
+    N.ntt_init_domain(f, logn)
+    rng = np.random.default_rng(4)
+    x = f.rand(rng, (1 << logn,))
+    e = N.ntt_jit(f, x, NTTDir.FORWARD, NTTConfig())
+    back = N.ntt_jit(f, e, NTTDir.INVERSE, NTTConfig())
+    assert np.array_equal(np.asarray(back), np.asarray(x))
+    ints = f.to_ints(x)
+    want0 = sum(int(v) for v in ints) % f.modulus
+    assert int(f.to_ints(e)[0]) == want0
