@@ -45,6 +45,56 @@ def _g(v, a, b, c, d, mx, my):
     v[b] = _rotr(v[b] ^ v[c], 7)
 
 
+#: m-index schedule: round r position j reads message word _SCHEDULE[r, j]
+_SCHEDULE = np.zeros((7, 16), dtype=np.int32)
+_perm = list(range(16))
+for _r in range(7):
+    _SCHEDULE[_r] = _perm
+    _perm = [_perm[p] for p in _MSG_PERM]
+
+#: round lowering: "auto" (scan on CPU — the unrolled 7-round body makes
+#: single-core XLA:CPU compiles pathological; unrolled on TPU — device loop
+#: iterations are expensive there), or force "scan"/"unrolled".
+ROUND_MODE = "auto"
+
+_G_IDX = [(0, 4, 8, 12), (1, 5, 9, 13), (2, 6, 10, 14), (3, 7, 11, 15),
+          (0, 5, 10, 15), (1, 6, 11, 12), (2, 7, 8, 13), (3, 4, 9, 14)]
+
+
+def _compress_dyn(cv, block_words, counter, block_len, flags):
+    """Compression with counter/block_len/flags as broadcastable uint32
+    arrays; cv and block_words are lists of equally-shaped arrays."""
+    z = jnp.zeros_like(cv[0])
+    v = [cv[i] for i in range(8)] + \
+        [z + np.uint32(IV[i]) for i in range(4)] + \
+        [z + counter, z, z + block_len, z + flags]
+    mode = ROUND_MODE
+    if mode == "auto":
+        mode = "scan" if jax.default_backend() == "cpu" else "unrolled"
+    m = list(block_words)
+    if mode == "unrolled":
+        for rnd in range(7):
+            for gi, (a, b, c, d) in enumerate(_G_IDX):
+                _g(v, a, b, c, d, m[2 * gi], m[2 * gi + 1])
+            if rnd < 6:
+                m = [m[p] for p in _MSG_PERM]
+        return [v[i] ^ v[i + 8] for i in range(8)]
+
+    # scan form: one round in the graph, message gathered by schedule row
+    vs = jnp.stack(v, axis=0)             # (16, ...)
+    ms = jnp.stack(m, axis=0)             # (16, ...)
+
+    def round_body(vstate, sched_row):
+        mr = jnp.take(ms, sched_row, axis=0)
+        vv = [vstate[i] for i in range(16)]
+        for gi, (a, b, c, d) in enumerate(_G_IDX):
+            _g(vv, a, b, c, d, mr[2 * gi], mr[2 * gi + 1])
+        return jnp.stack(vv, axis=0), None
+
+    vs, _ = jax.lax.scan(round_body, vs, jnp.asarray(_SCHEDULE))
+    return [vs[i] ^ vs[i + 8] for i in range(8)]
+
+
 def _compress(cv, block_words, counter: int, block_len: int, flags: int,
               full_state: bool = False):
     """cv: list of 8 (batch,) arrays; block_words: list of 16 (batch,) arrays."""
@@ -80,47 +130,85 @@ class Blake3(Hash):
         self._jit = {}
 
     def _run(self, blocks, nbytes: int):
-        """blocks: (batch, n_blocks, 16) uint32 padded words."""
+        """blocks: (batch, n_blocks, 16) uint32 padded words.
+
+        Graph-size discipline: ONE traced compress inside a lax.scan over the
+        chunk's block rows (vectorized over batch x chunks), then one batched
+        compress per parent-tree level — O(log chunks) compress instances
+        total. (An unrolled version compiles pathologically on wide DAGs.)
+        """
         batch = blocks.shape[0]
         n_chunks = max(1, -(-nbytes // CHUNK_BYTES))
-
-        def chunk_cv(chunk_idx: int):
-            start = chunk_idx * (CHUNK_BYTES // BLOCK_BYTES)
-            chunk_bytes = min(CHUNK_BYTES, nbytes - chunk_idx * CHUNK_BYTES)
-            n_blocks = max(1, -(-chunk_bytes // BLOCK_BYTES))
-            cv = [jnp.zeros((batch,), U32) + np.uint32(IV[i]) for i in range(8)]
-            for b in range(n_blocks):
-                block_len = min(BLOCK_BYTES, chunk_bytes - b * BLOCK_BYTES)
-                flags = 0
+        bpc = CHUNK_BYTES // BLOCK_BYTES
+        n_blocks = max(1, -(-min(nbytes, CHUNK_BYTES) // BLOCK_BYTES)) \
+            if n_chunks == 1 else bpc
+        # per-(chunk, block) metadata as arrays
+        blk_meta_len = np.zeros((n_chunks, bpc), dtype=np.uint32)
+        blk_flags = np.zeros((n_chunks, bpc), dtype=np.uint32)
+        blk_active = np.zeros((n_chunks, bpc), dtype=bool)
+        max_blocks = 0
+        for ci in range(n_chunks):
+            cbytes = min(CHUNK_BYTES, nbytes - ci * CHUNK_BYTES)
+            nb = max(1, -(-cbytes // BLOCK_BYTES))
+            max_blocks = max(max_blocks, nb)
+            for b in range(nb):
+                blk_active[ci, b] = True
+                blk_meta_len[ci, b] = min(BLOCK_BYTES, max(cbytes - b * BLOCK_BYTES, 0))
+                fl = 0
                 if b == 0:
-                    flags |= CHUNK_START
-                if b == n_blocks - 1:
-                    flags |= CHUNK_END
+                    fl |= CHUNK_START
+                if b == nb - 1:
+                    fl |= CHUNK_END
                     if n_chunks == 1:
-                        flags |= ROOT
-                bw = [blocks[:, start + b, i] for i in range(16)]
-                cv = _compress(cv, bw, chunk_idx, block_len, flags)
-            return cv
+                        fl |= ROOT
+                blk_flags[ci, b] = fl
 
-        cvs = [chunk_cv(i) for i in range(n_chunks)]
+        # (batch, chunks, blocks, 16) -> scan over block axis
+        bl = blocks.reshape(batch, n_chunks, bpc, 16)[:, :, :max_blocks]
+        counters = jnp.asarray(np.arange(n_chunks, dtype=np.uint32))[None, :]
 
-        # parent tree merge (left-full binary tree, blake3 spec)
-        def merge(nodes):
-            if len(nodes) == 1:
-                return nodes[0]
-            out = []
-            i = 0
-            while i + 1 < len(nodes):
-                bw = nodes[i] + nodes[i + 1]
-                flags = PARENT | (ROOT if len(nodes) == 2 else 0)
-                cv = [jnp.zeros((batch,), U32) + np.uint32(IV[j]) for j in range(8)]
-                out.append(_compress(cv, bw, 0, BLOCK_BYTES, flags))
-                i += 2
-            if i < len(nodes):
-                out.append(nodes[i])
-            return merge(out)
+        zeros2 = jnp.zeros((batch, n_chunks), U32)
+        cv0 = [zeros2 + np.uint32(IV[i]) for i in range(8)]
 
-        root = merge(cvs)
+        def body(cv, inp):
+            bw_row, blen, flags, active = inp   # (batch, chunks, 16), (chunks,)...
+            bw = [bw_row[..., i] for i in range(16)]
+            newcv = _compress_dyn(cv, bw, counters, blen[None, :],
+                                  flags[None, :])
+            out = [jnp.where(active[None, :], n, o)
+                   for n, o in zip(newcv, cv)]
+            return out, None
+
+        xs = (jnp.moveaxis(bl, 2, 0),
+              jnp.asarray(blk_meta_len.T[:max_blocks]),
+              jnp.asarray(blk_flags.T[:max_blocks]),
+              jnp.asarray(blk_active.T[:max_blocks]))
+        if max_blocks > 1:
+            cvs, _ = jax.lax.scan(body, cv0, xs)
+        else:
+            cvs, _ = body(cv0, jax.tree_util.tree_map(lambda a: a[0], xs))
+
+        # parent merges: one BATCHED compress per level over the pair axis
+        nodes = cvs            # list of 8 arrays (batch, n_chunks)
+        num = n_chunks
+        while num > 1:
+            half = num // 2
+            left = [n[:, 0:2 * half:2] for n in nodes]
+            right = [n[:, 1:2 * half:2] for n in nodes]
+            bw = left + right                     # 16 words (batch, half)
+            z = jnp.zeros((batch, half), U32)
+            cv_iv = [z + np.uint32(IV[i]) for i in range(8)]
+            flags = PARENT | (ROOT if num == 2 else 0)
+            merged = _compress_dyn(cv_iv, bw, z, z + np.uint32(BLOCK_BYTES),
+                                   z + np.uint32(flags))
+            if num % 2:
+                nodes = [jnp.concatenate([m, n[:, -1:]], axis=1)
+                         for m, n in zip(merged, nodes)]
+                num = half + 1
+            else:
+                nodes = merged
+                num = half
+        root = [n[:, 0] for n in nodes]
         return jnp.stack(root, axis=-1)
 
     def hash_bytes(self, data: bytes, batch: int = 1) -> bytes:

@@ -4,6 +4,11 @@
 # Taskflow is unavailable offline; a serial API-compatible stub is generated.
 set -e
 FIELD=${1:-babybear}
+# curves use -DCURVE=<name>; fields use -DFIELD=<name> (reference cmake/features.cmake)
+case "$FIELD" in
+  bn254|bls12_381|bls12_377|bw6_761|grumpkin) TARGET_FLAG="-DCURVE=$FIELD" ;;
+  *) TARGET_FLAG="$TARGET_FLAG" ;;
+esac
 STUB=/tmp/taskflow_stub
 BUILD=${ICICLE_REF_BUILD:-/tmp/icicle_build}
 
@@ -77,7 +82,7 @@ set(PACKAGE_VERSION_COMPATIBLE TRUE)
 EOF
 
 mkdir -p $BUILD
-cmake -S /root/reference/icicle -B $BUILD -DCPU_BACKEND=ON "-DFIELD=$FIELD" \
+cmake -S /root/reference/icicle -B $BUILD -DCPU_BACKEND=ON "$TARGET_FLAG" \
   -DCMAKE_BUILD_TYPE=Release -DTaskflow_DIR=$STUB/cmake -GNinja
 cmake --build $BUILD -j"$(nproc)"
 ls $BUILD/*.so
