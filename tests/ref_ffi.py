@@ -12,10 +12,50 @@ from __future__ import annotations
 import ctypes as C
 import functools
 import os
+import pickle
+import subprocess
+import sys
 
 import numpy as np
 
 BUILD_DIR = os.environ.get("ICICLE_REF_BUILD", "/tmp/icicle_build")
+
+# The reference .so and an initialized jaxlib corrupt each other in-process
+# (flaky SIGABRT/SIGSEGV on this image). Unless ICICLE_REF_DIRECT is set, each
+# golden call runs in a fresh jax-free subprocess and ships arrays via pickle.
+_DIRECT = bool(os.environ.get("ICICLE_REF_DIRECT"))
+
+
+def _subprocess_call(func_name: str, args: tuple, kwargs: dict):
+    payload = pickle.dumps((func_name, args, kwargs), protocol=4)
+    code = (
+        "import pickle, sys, os\n"
+        "os.environ['ICICLE_REF_DIRECT'] = '1'\n"
+        "sys.path.insert(0, %r)\n"
+        "import importlib\n"
+        "m = importlib.import_module('tests.ref_ffi')\n"
+        "fn, a, kw = pickle.loads(sys.stdin.buffer.read())\n"
+        "res = getattr(m, fn)(*a, **kw)\n"
+        "sys.stdout.buffer.write(pickle.dumps(res, protocol=4))\n"
+    ) % os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)  # keep the axon sitecustomize out of it
+    env["JAX_PLATFORMS"] = ""
+    proc = subprocess.run([sys.executable, "-c", code], input=payload,
+                          capture_output=True, env=env, timeout=600)
+    if proc.returncode != 0:
+        raise RuntimeError(f"ref_ffi subprocess failed: {proc.stderr[-500:]}")
+    return pickle.loads(proc.stdout)
+
+
+def _isolated(fn):
+    """Route the call through a jax-free subprocess unless running direct."""
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        if _DIRECT:
+            return fn(*args, **kwargs)
+        return _subprocess_call(fn.__name__, args, kwargs)
+    return wrapper
 
 
 def available(field: str = "babybear") -> bool:
@@ -86,6 +126,7 @@ def _scalar_bytes(field: str) -> int:
 
 # -- byte hashes (keccak/sha3/blake2s/blake3) ------------------------------------
 
+@_isolated
 def byte_hash(name: str, inputs: np.ndarray, digest_bytes: int,
               field: str = "babybear") -> np.ndarray:
     """Golden digests via icicle_create_<name>(0) + icicle_hasher_hash.
@@ -107,18 +148,22 @@ def byte_hash(name: str, inputs: np.ndarray, digest_bytes: int,
     rc = do_hash(handle, data.ctypes.data, data.size // batch, C.byref(cfg),
                  out.ctypes.data)
     assert rc == 0, f"icicle_hasher_hash rc={rc}"
-    hsh.icicle_hasher_delete(handle)
+    delete = hsh.icicle_hasher_delete
+    delete.argtypes = [C.c_void_p]  # without this ctypes truncates the handle
+    delete(handle)
     return out
 
 
 # -- poseidon / poseidon2 ------------------------------------------------------
 
+@_isolated
 def poseidon_hash(field: str, t: int, inputs: np.ndarray,
                   domain_tag: np.ndarray | None = None) -> np.ndarray:
     """Original Poseidon via {field}_create_poseidon_hasher."""
     return poseidon2_hash(field, t, inputs, domain_tag, creator="poseidon")
 
 
+@_isolated
 def poseidon2_hash(field: str, t: int, inputs: np.ndarray,
                    domain_tag: np.ndarray | None = None,
                    creator: str = "poseidon2") -> np.ndarray:
@@ -160,6 +205,7 @@ def poseidon2_hash(field: str, t: int, inputs: np.ndarray,
 _domain_initialized: set = set()
 
 
+@_isolated
 def ntt(field: str, inputs_u32: np.ndarray, logn_domain: int, inverse: bool = False,
         ordering: int = 0, batch: int = 1, coset_gen_le: np.ndarray | None = None
         ) -> np.ndarray:

@@ -25,13 +25,12 @@ needs_ref = pytest.mark.skipif(not ref_ffi.available("babybear"),
 
 
 @needs_ref
-@pytest.mark.parametrize("nbytes", [0, 1, 65, 1023, 1024, 2048])
+# size 0 omitted: the reference hasher asserts size > 0 (hash_backend.h:72)
+@pytest.mark.parametrize("nbytes", [1, 65, 1023, 1024, 2048])
 def test_blake3_matches_reference(nbytes):
     h = Blake3()
     rng = np.random.default_rng(nbytes)
-    data = rng.integers(0, 256, size=(2, max(nbytes, 1)), dtype=np.uint8)
-    if nbytes == 0:
-        data = np.zeros((2, 0), dtype=np.uint8)
+    data = rng.integers(0, 256, size=(2, nbytes), dtype=np.uint8)
     got = np.frombuffer(h.hash_bytes(data.tobytes(), batch=2),
                         dtype=np.uint8).reshape(2, 32)
     want = ref_ffi.byte_hash("blake3", data, 32)
