@@ -248,3 +248,48 @@ def ntt(field: str, inputs_u32: np.ndarray, logn_domain: int, inverse: bool = Fa
     rc = fn(data.ctypes.data, size, 1 if inverse else 0, C.byref(cfg), out.ctypes.data)
     assert rc == 0, f"{field}_ntt rc={rc}"
     return out
+
+
+# -- bn254 msm ------------------------------------------------------------------
+
+class MSMConfigC(C.Structure):
+    # mirror of include/icicle/msm.h MSMConfig (field order matters)
+    _fields_ = [("stream", C.c_void_p),
+                ("precompute_factor", C.c_int),
+                ("c", C.c_int),
+                ("bitsize", C.c_int),
+                ("batch_size", C.c_int),
+                ("are_points_shared_in_batch", C.c_bool),
+                ("are_scalars_on_device", C.c_bool),
+                ("are_scalars_montgomery_form", C.c_bool),
+                ("are_points_on_device", C.c_bool),
+                ("are_points_montgomery_form", C.c_bool),
+                ("are_results_on_device", C.c_bool),
+                ("is_async", C.c_bool),
+                ("ext", C.c_void_p)]
+
+
+@_isolated
+def bn254_msm(scalars_u32: np.ndarray, points_u32: np.ndarray) -> np.ndarray:
+    """Golden bn254 G1 MSM. scalars (n, 8) u32 canonical; points (n, 16) u32
+    affine (x||y limbs, canonical). Returns projective (3, 8) u32 result."""
+    build = os.environ.get("ICICLE_REF_BUILD_BN254", "/tmp/icicle_build_bn254")
+    dev = C.CDLL(os.path.join(build, "libicicle_device.so"), mode=C.RTLD_GLOBAL)
+    cur = C.CDLL(os.path.join(build, "libicicle_curve_bn254.so"), mode=C.RTLD_GLOBAL)
+    fn = cur.bn254_msm
+    fn.restype = C.c_int
+    fn.argtypes = [C.c_void_p, C.c_void_p, C.c_int, C.c_void_p, C.c_void_p]
+    n = scalars_u32.shape[0]
+    scal = np.ascontiguousarray(scalars_u32, dtype=np.uint32)
+    pts = np.ascontiguousarray(points_u32, dtype=np.uint32)
+    cfg = MSMConfigC(stream=None, precompute_factor=1, c=0, bitsize=0,
+                     batch_size=1, are_points_shared_in_batch=True,
+                     are_scalars_on_device=False,
+                     are_scalars_montgomery_form=False,
+                     are_points_on_device=False,
+                     are_points_montgomery_form=False,
+                     are_results_on_device=False, is_async=False, ext=None)
+    out = np.zeros((3, 8), dtype=np.uint32)
+    rc = fn(scal.ctypes.data, pts.ctypes.data, n, C.byref(cfg), out.ctypes.data)
+    assert rc == 0, f"bn254_msm rc={rc}"
+    return out
