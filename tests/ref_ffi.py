@@ -65,11 +65,17 @@ def available(field: str = "babybear") -> bool:
 
 @functools.lru_cache(maxsize=None)
 def _libs(field: str = "babybear"):
-    dev = C.CDLL(os.path.join(BUILD_DIR, "libicicle_device.so"), mode=C.RTLD_GLOBAL)
-    fld = C.CDLL(os.path.join(BUILD_DIR, f"libicicle_field_{field}.so"),
+    build = BUILD_DIR
+    if not os.path.exists(os.path.join(build, f"libicicle_field_{field}.so")):
+        alt = os.environ.get(f"ICICLE_REF_BUILD_{field.upper()}",
+                             f"/tmp/icicle_build_{field}")
+        if os.path.exists(os.path.join(alt, f"libicicle_field_{field}.so")):
+            build = alt
+    dev = C.CDLL(os.path.join(build, "libicicle_device.so"), mode=C.RTLD_GLOBAL)
+    fld = C.CDLL(os.path.join(build, f"libicicle_field_{field}.so"),
                  mode=C.RTLD_GLOBAL)
     try:
-        hsh = C.CDLL(os.path.join(BUILD_DIR, "libicicle_hash.so"), mode=C.RTLD_GLOBAL)
+        hsh = C.CDLL(os.path.join(build, "libicicle_hash.so"), mode=C.RTLD_GLOBAL)
     except OSError:
         hsh = fld
     return dev, fld, hsh

@@ -55,3 +55,21 @@ def test_msm_matches_reference_cpu():
     x, y = g.to_affine_canonical(res)
     got = (int(fq.to_ints(x)), int(fq.to_ints(y)))
     assert got == ref_aff
+
+
+@needs_bn254
+def test_bn254_scalar_ntt_matches_reference():
+    """bn254 scalar-field (8-limb) NTT vs the reference backend."""
+    import jax.numpy as jnp
+    from icicle_tpu.fields.field import get_field
+    from icicle_tpu.ops import ntt as N
+    from icicle_tpu.runtime.config import NTTConfig, NTTDir
+    f = get_field("bn254_scalar")
+    logn = 6
+    n = 1 << logn
+    rng = np.random.default_rng(8)
+    x = f.rand(rng, (n,))
+    ref = ref_ffi.ntt("bn254", np.asarray(x, dtype=np.uint32).reshape(-1), logn)
+    N.ntt_init_domain(f, logn)
+    got = np.asarray(N.ntt_jit(f, x, NTTDir.FORWARD, NTTConfig()), dtype=np.uint32)
+    assert np.array_equal(got.reshape(-1), ref)
