@@ -72,7 +72,7 @@ def main() -> None:
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.integers(0, f.modulus, size=(batch, n), dtype=np.uint32))
 
-    run = jax.jit(lambda v: N.ntt(f, v, NTTDir.FORWARD, NTTConfig()))
+    run = lambda v: N.ntt_jit(f, v, NTTDir.FORWARD, NTTConfig())
     y = jax.block_until_ready(run(x))  # compile + warmup
 
     iters = 5

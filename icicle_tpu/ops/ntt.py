@@ -193,17 +193,22 @@ def _ntt_vecfirst(f: Field, x, dir: NTTDir, logn: int):
 _FOUR_STEP_MIN_LOGN = 16
 
 
-def _ntt_four_step(f: Field, x, dir: NTTDir, logn: int):
+def _ntt_four_step(f: Field, x, dir: NTTDir, logn: int, tw=None):
     """Single-chip four-step NTT for large vectors: n = n1*n2 viewed as an
     (n1, n2) matrix — column NTTs, w^(k1*j2) twiddles, one transpose, row
     NTTs. Both passes run vector-major with >= 2^(logn/2) lanes of batch
     (the single-chip analog of parallel/ntt_sharded.py; reference hierarchy-1
-    split, backend/cpu/include/ntt_cpu.h:79-100)."""
+    split, backend/cpu/include/ntt_cpu.h:79-100).
+
+    `tw` is the (n1, n2) twiddle matrix; jitted callers MUST pass it as a
+    runtime argument (as a closure constant it gets serialized into the HLO —
+    256MB at 2^26 — which remote compilers reject)."""
     from icicle_tpu.parallel import ntt_sharded as _ns
     lim = f.limb_shape
     log_n1 = logn // 2
     n1, n2 = 1 << log_n1, 1 << (logn - log_n1)
-    tw = _ns._twiddle_matrix(f, n1, n2, dir)             # (n1, n2)+lim
+    if tw is None:
+        tw = _ns._twiddle_matrix(f, n1, n2, dir)         # (n1, n2)+lim
     xm = x.reshape((n1, n2) + lim)
     y = _ntt_vecfirst(f, xm, dir, log_n1)                # columns (axis 0)
     y = f.mul_mont(y, tw)
@@ -213,7 +218,7 @@ def _ntt_four_step(f: Field, x, dir: NTTDir, logn: int):
     return y.reshape((1 << logn,) + lim)
 
 
-def _ntt_xla(f: Field, x, dir: NTTDir, cfg: NTTConfig):
+def _ntt_xla(f: Field, x, dir: NTTDir, cfg: NTTConfig, fs_tw=None):
     axis = _vec_axis(f, x)
     n = x.shape[axis]
     logn = n.bit_length() - 1
@@ -240,7 +245,7 @@ def _ntt_xla(f: Field, x, dir: NTTDir, cfg: NTTConfig):
     scaled = False
     if not input_rev and bsz == 1 and logn >= _FOUR_STEP_MIN_LOGN:
         flat = x.reshape((n,) + lim)
-        y = _ntt_four_step(f, flat, dir, logn).reshape(x.shape)
+        y = _ntt_four_step(f, flat, dir, logn, tw=fs_tw).reshape(x.shape)
         scaled = True
     elif not input_rev and bsz >= 64:
         xv = jnp.moveaxis(x, _vec_axis(f, x), 0)
@@ -279,13 +284,40 @@ def _jitted_ntt(field_name: str, direction: str, ordering: str, coset_gen, backe
     cfg = NTTConfig(coset_gen=coset_gen, ordering=Ordering(ordering), backend=backend)
 
     @jax.jit
-    def run(x):
+    def run(x, fs_tw):
+        return _ntt_xla(f, x, NTTDir(direction), cfg, fs_tw=fs_tw)
+
+    @jax.jit
+    def run_plain(x):
         return dispatcher.dispatch("ntt", backend)(f, x, NTTDir(direction), cfg)
 
-    return run
+    return run, run_plain
+
+
+def _uses_four_step(f: Field, x, cfg: NTTConfig) -> int | None:
+    axis = _vec_axis(f, x)
+    n = x.shape[axis]
+    logn = n.bit_length() - 1
+    batch = x.shape[:axis]
+    bsz = int(np.prod(batch)) if batch else 1
+    input_rev = cfg.ordering in (Ordering.RN, Ordering.RR)
+    if cfg.backend in (None, "xla") and not input_rev and bsz == 1 \
+            and logn >= _FOUR_STEP_MIN_LOGN:
+        return logn
+    return None
 
 
 def ntt_jit(f: Field, x, dir: NTTDir = NTTDir.FORWARD, cfg: NTTConfig = _DEFAULT):
-    """jit-cached entry point (one compile per field/ordering/size)."""
-    return _jitted_ntt(f.name, dir.value, cfg.ordering.value, cfg.coset_gen,
-                       cfg.backend)(x)
+    """jit-cached entry point (one compile per field/ordering/size).
+
+    Large single-vector transforms pass the four-step twiddle matrix as a
+    runtime argument (a closure constant would serialize ~n words of HLO)."""
+    run, run_plain = _jitted_ntt(f.name, dir.value, cfg.ordering.value,
+                                 cfg.coset_gen, cfg.backend)
+    logn = _uses_four_step(f, x, cfg)
+    if logn is not None:
+        from icicle_tpu.parallel import ntt_sharded as _ns
+        log_n1 = logn // 2
+        tw = _ns._twiddle_matrix(f, 1 << log_n1, 1 << (logn - log_n1), dir)
+        return run(x, tw)
+    return run_plain(x)
