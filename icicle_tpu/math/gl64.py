@@ -134,7 +134,15 @@ class Goldilocks:
     def mul(self, a, b):
         n0, n1, n2, n3 = _mul64(a[..., 0], a[..., 1], b[..., 0], b[..., 1])
         lo, hi = _reduce128(n0, n1, n2, n3)
-        return jnp.stack([lo, hi], axis=-1)
+        out = jnp.stack([lo, hi], axis=-1)
+        # XLA:CPU's fusion passes are pathologically superlinear on chained
+        # 64-bit-emulation DAGs (a 4-mul chain compiles in ~90 s on a 1-core
+        # host). Fencing each multiply keeps fusions small; compile drops to
+        # seconds. TPU keeps full fusion.
+        import jax
+        if jax.default_backend() == "cpu":
+            out = jax.lax.optimization_barrier(out)
+        return out
 
     # Montgomery-free field: mul_mont === mul and domain conversions are no-ops,
     # so composite kernels can treat all single-limb-like fields uniformly.
