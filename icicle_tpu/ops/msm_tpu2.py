@@ -141,8 +141,21 @@ def _jitted_pipeline2(curve_name: str, c: int, nbits: int, n_pad: int, T: int,
                            is_dacc.astype(jnp.int32)], axis=1)  # (tiles,2,K)
         flags = jnp.transpose(flags, (2, 1, 0))    # (K, 2, tiles)
 
-        dx, dy, dz = fold(xs, ys, flags)
-        return jnp.stack([dx[:, 0], dy[:, 0], dz[:, 0]])  # (3, L)
+        dx, dy, dz = fold(xs, ys, flags)           # per-tile sums (L, C)
+        # cross-tile reduce: roll-scan tree (one add instance in the graph).
+        # Straight-line montmuls on TPU (device-loop iterations are ~270us
+        # each there); loop-form on compile-bound CPU hosts.
+        import contextlib
+        from icicle_tpu.curves.group import get_group, Projective
+        from icicle_tpu.ops.msm import _prefix_scan_add
+        from icicle_tpu.math.bigint import mul_mode
+        group = get_group(curve_name)
+        pts = Projective(dx.T, dy.T, dz.T)         # (C, L)
+        mm = (mul_mode("unrolled") if backend == "pallas"
+              else contextlib.nullcontext())
+        with mm:
+            tot = _prefix_scan_add(group, pts)
+        return jnp.stack([tot.x[-1], tot.y[-1], tot.z[-1]])  # (3, L)
 
     @jax.jit
     def run(scalars, points_i8):

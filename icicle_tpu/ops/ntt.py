@@ -218,6 +218,29 @@ def _ntt_four_step(f: Field, x, dir: NTTDir, logn: int, tw=None):
     return y.reshape((1 << logn,) + lim)
 
 
+def digit_reverse_indices(logn: int) -> np.ndarray:
+    """The kNM/kMN "mixed" digit permutation (reference ntt.h Ordering
+    kNM/kMN; ntt.h:32-43). The M order is backend-defined in the reference
+    (each backend's radix hierarchy); ours is the four-step (n1, n2) digit
+    pair with n1 = 2^(logn//2):
+
+        vM[k1*n2 + k2] = v[k1 + n1*k2]
+
+    Returns idx with vM = take(v, idx)."""
+    log_n1 = logn // 2
+    n1, n2 = 1 << log_n1, 1 << (logn - log_n1)
+    p = np.arange(n1 * n2)
+    return (p // n2 + n1 * (p % n2)).astype(np.int32)
+
+
+def digit_reverse_indices_inv(logn: int) -> np.ndarray:
+    """Inverse of digit_reverse_indices: v = take(vM, idx)."""
+    log_n1 = logn // 2
+    n1 = 1 << log_n1
+    q = np.arange(1 << logn)
+    return ((q % n1) * (1 << (logn - log_n1)) + q // n1).astype(np.int32)
+
+
 def _ntt_xla(f: Field, x, dir: NTTDir, cfg: NTTConfig, fs_tw=None):
     axis = _vec_axis(f, x)
     n = x.shape[axis]
@@ -230,6 +253,10 @@ def _ntt_xla(f: Field, x, dir: NTTDir, cfg: NTTConfig, fs_tw=None):
 
     input_rev = cfg.ordering in (Ordering.RN, Ordering.RR)
     output_rev = cfg.ordering in (Ordering.NR, Ordering.RR)
+
+    if cfg.ordering is Ordering.MN:
+        # digit-reversed input -> natural, then proceed as NN
+        x = _take_vec(f, x, jnp.asarray(digit_reverse_indices_inv(logn)))
 
     if dir == NTTDir.FORWARD and cfg.coset_gen is not None:
         shifts = _powers_mont(f, cfg.coset_gen, n)
@@ -267,6 +294,8 @@ def _ntt_xla(f: Field, x, dir: NTTDir, cfg: NTTConfig, fs_tw=None):
             y = f.mul_mont(y, shifts)
     if output_rev:
         y = _take_vec(f, y, rev)
+    if cfg.ordering is Ordering.NM:
+        y = _take_vec(f, y, jnp.asarray(digit_reverse_indices(logn)))
     return y
 
 
@@ -321,3 +350,58 @@ def ntt_jit(f: Field, x, dir: NTTDir = NTTDir.FORWARD, cfg: NTTConfig = _DEFAULT
         tw = _ns._twiddle_matrix(f, 1 << log_n1, 1 << (logn - log_n1), dir)
         return run(x, tw)
     return run_plain(x)
+
+
+# ---------------------------------------------------------------------------
+# Extension-field and RNS-domain NTTs
+# ---------------------------------------------------------------------------
+# Reference registration points: backend/cpu/src/field/cpu_ntt.cpp:41
+# (EXT_FIELD) and :45-48 (RING_RNS). Both reuse the scalar-field twiddle
+# domain: the NTT is linear over the base field, so an extension-field NTT is
+# a component-wise base-field NTT, and an RNS-ring NTT transforms each
+# residue plane with the ring root-of-unity's residue in that plane.
+
+
+def ntt_ext(ef, x, dir: NTTDir = NTTDir.FORWARD, cfg: NTTConfig = _DEFAULT):
+    """NTT over extension-field elements (babybear4 etc. — reference
+    EXT_FIELD ntt, cpu_ntt.cpp:41).
+
+    x: (batch..., n, D) with D the extension degree over a flat base field
+    (or (batch..., n, D*W) limb-grouped for multi-limb bases). Twiddles come
+    from the BASE field domain; components transform independently.
+    """
+    base = ef.base
+    assert base.limb_shape == (), "ext-field NTT supports flat base fields"
+    xt = jnp.moveaxis(x, -1, 0)            # (D, batch..., n)
+    yt = ntt_jit(base, xt, dir, cfg)
+    return jnp.moveaxis(yt, 0, -1)
+
+
+def ntt_rns(x, dir: NTTDir = NTTDir.FORWARD, cfg: NTTConfig = _DEFAULT):
+    """NTT over babykoala Z_q in RNS form (reference RING_RNS ntt,
+    cpu_ntt.cpp:45-48).
+
+    x: (batch..., n, 2) canonical residues (x mod P_bb, x mod P_kb). Each
+    plane uses the residue of the RING's root of unity (babykoala.h
+    zq_config::rou), so results CRT-match the direct-domain Zq NTT.
+    """
+    f_bb, f_kb = _rns_plane_fields()
+    yb = ntt_jit(f_bb, x[..., 0], dir, cfg)
+    yk = ntt_jit(f_kb, x[..., 1], dir, cfg)
+    return jnp.stack([yb, yk], axis=-1)
+
+
+@functools.lru_cache(maxsize=None)
+def _rns_plane_fields():
+    from icicle_tpu.math.params import FieldParams
+    from icicle_tpu.fields.field import register_field_object
+    from icicle_tpu.rings.babykoala import P_BB, P_KB, ROU, OMEGAS_COUNT
+
+    planes = []
+    for name, p in (("babykoala_rns_bb", P_BB), ("babykoala_rns_kb", P_KB)):
+        params = FieldParams(name=name, modulus=p, rou=ROU % p,
+                             two_adicity_override=OMEGAS_COUNT)
+        f = Field(params)
+        register_field_object(f)
+        planes.append(f)
+    return tuple(planes)

@@ -18,8 +18,8 @@ key j's run. So ONE sequential pass with two accumulators per lane
     D += E   if t ends a key-run  (complete projective add)
 
 yields the whole weighted window sum. Each kernel lane owns one tile's
-stream; tiles combine by a lane-axis all-reduce add tree at the end — no
-bucket arrays exist at all.
+stream; the per-tile sums combine by a log-depth roll-scan add tree in XLA —
+no bucket arrays exist at all.
 
 Layouts: coordinates are (K, L, C) uint32 (limb-major rows; C = tiles on the
 128-lane axis), flags (K, 2, C) int32 [is_real; is_d_accum]. Montgomery form
@@ -69,15 +69,14 @@ def make_suffix_fold(curve_name: str, K: int, C: int):
     """Build the suffix-fold kernel.
 
     invoke(xs, ys (K, L, C) u32 Montgomery, flags (K, 2, C) i32)
-      -> (Dx, Dy, Dz) each (L, C) u32; every lane holds the SAME all-reduced
-         window sum (take [:, 0]).
+      -> (Dx, Dy, Dz) each (L, C) u32: the per-tile weighted window sums.
+    Cross-tile reduction happens in XLA (a log-C roll-scan costs one add
+    instance in the graph; unrolling it here blew up Mosaic compile time).
     """
     curve = get_curve(curve_name)
     eng = curve.fq.engine
     f = _ListField(eng)
     b3_np, one_np, nl = _kernel_consts(curve_name)
-    log_c = (C - 1).bit_length()      # 0 levels when C == 1
-    assert C == 1 << log_c, "C must be a power of two for the lane all-reduce"
 
     def kernel(consts_ref, x_ref, y_ref, f_ref, dxo, dyo, dzo,
                Ex, Ey, Ez, Dx, Dy, Dz):
@@ -124,26 +123,10 @@ def make_suffix_fold(curve_name: str, K: int, C: int):
 
         @pl.when(k == K - 1)
         def _():
-            # lane-axis all-reduce: after levels C/2, C/4, .., 1 every lane
-            # holds the sum over all tiles
-            rx = [Dx[i, :] for i in range(nl)]
-            ry = [Dy[i, :] for i in range(nl)]
-            rz = [Dz[i, :] for i in range(nl)]
-            for lvl in range(log_c):
-                s = C >> (lvl + 1)
-                # Mosaic needs >=2D operands for rotates: roll (nl, C) stacks
-                OX = pltpu.roll(jnp.stack(rx, axis=0), s, 1)
-                OY = pltpu.roll(jnp.stack(ry, axis=0), s, 1)
-                OZ = pltpu.roll(jnp.stack(rz, axis=0), s, 1)
-                rx, ry, rz = _padd_list(
-                    f, rx, ry, rz,
-                    [OX[i, :] for i in range(nl)],
-                    [OY[i, :] for i in range(nl)],
-                    [OZ[i, :] for i in range(nl)], b3)
             for i in range(nl):
-                dxo[i, :] = rx[i]
-                dyo[i, :] = ry[i]
-                dzo[i, :] = rz[i]
+                dxo[i, :] = Dx[i, :]
+                dyo[i, :] = Dy[i, :]
+                dzo[i, :] = Dz[i, :]
 
     coord_spec = pl.BlockSpec((1, nl, C), lambda k: (k, 0, 0),
                               memory_space=pltpu.VMEM)
@@ -202,13 +185,6 @@ def make_suffix_fold_xla(curve_name: str, K: int, C: int):
             return (E, D), None
 
         (_, D), _ = jax.lax.scan(body, (ident, ident), (xs, ys, flags))
-        # lane all-reduce to mirror the kernel contract
-        log_c = (C - 1).bit_length()
-        for lvl in range(log_c):
-            s = C >> (lvl + 1)
-            rolled = jax.tree_util.tree_map(
-                lambda a: jnp.roll(a, s, axis=0), D)
-            D = group.add(D, rolled)
         to_lc = lambda a: a.T                      # (C, L) -> (L, C)
         return to_lc(D.x), to_lc(D.y), to_lc(D.z)
 
