@@ -239,9 +239,23 @@ def pairing(curve_name: str, p_affine: tuple[int, int],
             q_affine: tuple[tuple[int, int], tuple[int, int]]):
     """e(P, Q) in Fp12 (reference pairing.h:24-27 surface).
 
+    Value-parity implementation: delegates to the optimal-ate pairing
+    (curves/ate.py, byte-equal to the reference FFI) and converts from the
+    nested Fp6[w]/(w^2-v) tower to this module's flat Fp2[w]/(w^6-xi) basis
+    via v = w^2: flat coefficient a_{2i} = c0.c_i, a_{2i+1} = c1.c_i.
+
     P: G1 affine python-int pair; Q: G2 affine pair of Fp2 pairs.
     Returns the Fp12 element as a 6-tuple of Fp2 pairs.
     """
+    from icicle_tpu.curves.ate import ate_pairing
+    c0, c1 = ate_pairing(curve_name, p_affine, q_affine)
+    return (c0[0], c1[0], c0[1], c1[1], c0[2], c1[2])
+
+
+def pairing_tate(curve_name: str, p_affine: tuple[int, int],
+                 q_affine: tuple[tuple[int, int], tuple[int, int]]):
+    """Tate pairing with the plain (p^12-1)/r final power — kept as an
+    independent bilinear oracle for cross-checking the ate implementation."""
     tw, cx, cy, p, r = _setup(curve_name)
     Qx, Qy = _untwist(tw, cx, cy, q_affine)
     f = _miller_tate(tw, p, r, p_affine, Qx, Qy)

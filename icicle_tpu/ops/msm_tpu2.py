@@ -6,17 +6,18 @@ pipeline (ops/msm_tpu.py) is bottlenecked by random-access memory ops that
 run at ~2 GB/s on TPU (global argsort, (N, L) row gathers, bucket scatters).
 This pipeline has NONE of those:
 
-  per window:
+  per window-group (wg windows batched into the lane axis so every stage
+  amortizes its dispatch/DMA floor):
   1. signed digits                                     (XLA, shared with v1)
-  2. per tile of T points: single-u32 packed row-sort
+  2. per (window, tile of T points): single-u32 packed row-sort
      (descending key | neg-bit | source idx), with 2^(c-1) dummy slots
      appended so every bucket key occurs in every tile  (lax.sort, 1 column)
-  3. point bytes routed to sorted slots by one-hot int8 MATMULS on the MXU
+  3. point bytes routed to sorted slots by one-hot MATMULS on the MXU
      (dense compute instead of random access)
-  4. Pallas suffix-fold kernel: two running accumulators per tile-lane
-     (E += P; D += E at key-run ends) — see pallas/msm_fold2.py for why this
-     equals sum_k k*B_k — then a lane all-reduce over tiles
-  5. window Horner combine on host ints (W points).
+  4. Pallas suffix-fold kernel over C = wg*tiles lanes: two running
+     accumulators per lane (E += P; D += E at key-run ends) — see
+     pallas/msm_fold2.py for why this equals sum_k k*B_k
+  5. cross-tile roll-scan reduce (per window) + window Horner on host ints.
 
 Every stage is O(n) sequential HBM traffic + MXU matmuls + VPU limb math.
 """
@@ -36,7 +37,6 @@ from icicle_tpu.pallas.msm_fold2 import make_suffix_fold, make_suffix_fold_xla
 
 _IDX_BITS = 13
 _IDX_MASK = (1 << _IDX_BITS) - 1     # 8191; dummy slots use idx == mask
-_NEG_BIT = 1 << _IDX_BITS
 _KEY_SHIFT = _IDX_BITS + 1
 
 
@@ -57,14 +57,49 @@ def _plan2(n: int, c: int | None, nbits: int, T: int | None):
     assert M <= ((1 << 31) >> _KEY_SHIFT), "window too large for packed sort"
     n_windows = (nbits + c) // c + 1
     tiles = -(-n // T)
-    # lane all-reduce needs a power-of-two lane count
     tiles = 1 << max(0, (tiles - 1).bit_length())
-    return c, M, T, tiles, n_windows
+    # windows per fold pass: target <= 16384 lanes, bounded by ~5 GB of
+    # permuted coordinate arrays per pass; then balance the groups
+    byte_budget = 5 << 30
+    per_window = tiles * (T + M) * 8 * 4 * 2
+    wg = max(1, min(n_windows, 16384 // tiles, byte_budget // per_window))
+    n_groups = -(-n_windows // wg)
+    wg = -(-n_windows // n_groups)
+    return c, M, T, tiles, n_windows, wg
+
+
+def _reduce_tiles(group, dx, dy, dz, wg: int, tiles: int):
+    """Per-window sum over tiles: (L, wg*tiles) -> (wg, 3, L).
+
+    Roll-scan tree along the tile axis (one add instance in the graph),
+    batched over the window axis.
+    """
+    from icicle_tpu.curves.group import Projective
+
+    nl = dx.shape[0]
+    # (L, wg*tiles) -> (tiles, wg, L)
+    arr = lambda a: jnp.transpose(a.reshape(nl, wg, tiles), (2, 1, 0))
+    pts = Projective(arr(dx), arr(dy), arr(dz))
+    steps = max(1, (tiles - 1).bit_length())
+    shifts = jnp.asarray([1 << k for k in range(steps)], dtype=jnp.int32)
+    idx = jnp.arange(tiles, dtype=jnp.int32)
+
+    def body(p, d):
+        rolled = jax.tree_util.tree_map(lambda a: jnp.roll(a, d, axis=0), p)
+        combined = group.add(rolled, p)
+        keep = (idx < d)[:, None, None]
+        newp = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(keep, a, b), p, combined)
+        return newp, None
+
+    out, _ = jax.lax.scan(body, pts, shifts)
+    last = jax.tree_util.tree_map(lambda a: a[-1], out)     # (wg, L)
+    return jnp.stack([last.x, last.y, last.z], axis=1)      # (wg, 3, L)
 
 
 @functools.lru_cache(maxsize=None)
 def _jitted_pipeline2(curve_name: str, c: int, nbits: int, n_pad: int, T: int,
-                      tiles: int, backend: str):
+                      tiles: int, wg: int, backend: str):
     curve = get_curve(curve_name)
     fq = curve.fq
     f = fq.engine
@@ -73,100 +108,108 @@ def _jitted_pipeline2(curve_name: str, c: int, nbits: int, n_pad: int, T: int,
     K = T + M
     n_windows = (nbits + c) // c + 1
     kmax = M
+    C = wg * tiles
 
     if backend == "pallas":
-        fold = make_suffix_fold(curve_name, K, tiles)
+        fold = make_suffix_fold(curve_name, K, C)
     else:
-        fold = make_suffix_fold_xla(curve_name, K, tiles)
+        fold = make_suffix_fold_xla(curve_name, K, C)
 
     iota_t = jnp.arange(T, dtype=jnp.uint32)
     # dummy slots: keys 1..M (descending-packed), idx = sentinel
     dummy_pack = ((jnp.uint32(kmax) - jnp.arange(1, M + 1, dtype=jnp.uint32))
                   << _KEY_SHIFT) | jnp.uint32(_IDX_MASK)
 
-    def window_fn(points_i8, digits_w):
-        """points_i8 (tiles, T, 2L*4) int8 (biased bytes); digits_w (tiles, T)
-        int32 -> window sum (3, L) u32 Montgomery projective."""
-        key = jnp.abs(digits_w).astype(jnp.uint32)
-        neg = (digits_w < 0).astype(jnp.uint32)
+    def group_fn(points_i8, digits_g):
+        """points_i8 (tiles, T, 2L*4) int8 biased bytes; digits_g
+        (wg, tiles, T) int32 -> window sums (wg, 3, L) u32 Montgomery."""
+        key = jnp.abs(digits_g).astype(jnp.uint32)
+        neg = (digits_g < 0).astype(jnp.uint32)
         pack = ((jnp.uint32(kmax) - key) << _KEY_SHIFT) | (neg << _IDX_BITS) \
-            | iota_t[None, :]
+            | iota_t[None, None, :]
         pack = jnp.concatenate(
-            [pack, jnp.broadcast_to(dummy_pack, (tiles, M))], axis=1)
-        spack = jax.lax.sort([pack], dimension=1, num_keys=1)[0]  # (tiles, K)
+            [pack, jnp.broadcast_to(dummy_pack, (wg, tiles, M))], axis=2)
+        spack = jax.lax.sort([pack], dimension=2, num_keys=1)[0]  # (wg,t,K)
 
         skey = (jnp.uint32(kmax) - (spack >> _KEY_SHIFT)).astype(jnp.int32)
         sneg = (spack >> _IDX_BITS) & 1
         sidx = (spack & _IDX_MASK).astype(jnp.int32)
         is_real = sidx != _IDX_MASK
         nxt = jnp.concatenate(
-            [skey[:, 1:], jnp.full((tiles, 1), -1, jnp.int32)], axis=1)
+            [skey[:, :, 1:], jnp.full((wg, tiles, 1), -1, jnp.int32)], axis=2)
         is_dacc = (skey != nxt) & (skey >= 1)
 
-        # one-hot permute on the MXU, chunked over tiles
+        # one-hot permute on the MXU, chunked over tiles; all wg windows of a
+        # tile share one dot_general (rows = wg*K)
         nbytes = points_i8.shape[-1]
 
         def chunk(_, args):
-            si, pi8 = args                       # (B, K), (B, T, nbytes)
-            oh = (si[:, :, None] ==
+            si, pi8 = args              # (B, wg, K), (B, T, nbytes)
+            oh = (si.reshape(-1, wg * K)[:, :, None] ==
                   jax.lax.broadcasted_iota(jnp.int32, (1, 1, T), 2)
-                  ).astype(jnp.int8)
+                  ).astype(jnp.int8)    # (B, wg*K, T)
             out = jax.lax.dot_general(
                 oh, pi8, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.int32)  # (B, K, nbytes)
+                preferred_element_type=jnp.int32)   # (B, wg*K, nbytes)
             return None, out
 
-        B = max(1, min(tiles, (1 << 27) // (K * T)))
+        B = max(1, min(tiles, (1 << 27) // (wg * K * T)))
         while tiles % B:
             B -= 1
+        sid_t = jnp.transpose(sidx, (1, 0, 2))       # (tiles, wg, K)
         _, perm = jax.lax.scan(
             chunk, None,
-            (sidx.reshape(tiles // B, B, K),
+            (sid_t.reshape(tiles // B, B, wg, K),
              points_i8.reshape(tiles // B, B, T, nbytes)))
-        perm = perm.reshape(tiles, K, nbytes)
+        perm = perm.reshape(tiles, wg, K, nbytes)
 
-        # un-bias bytes (dummy rows sum to 0 -> stay 0) and pack to u32 limbs
-        b = (perm + 128 * is_real[:, :, None].astype(jnp.int32))
-        b = b.astype(jnp.uint32)
-        b4 = b.reshape(tiles, K, 2 * nl, 4)
+        # un-bias bytes (dummy rows sum to 0 -> stay 0), pack to u32 limbs
+        isr_t = jnp.transpose(is_real, (1, 0, 2))    # (tiles, wg, K)
+        b = (perm + 128 * isr_t[..., None].astype(jnp.int32)).astype(jnp.uint32)
+        b4 = b.reshape(tiles, wg, K, 2 * nl, 4)
         limbs = (b4[..., 0] | (b4[..., 1] << 8) | (b4[..., 2] << 16)
-                 | (b4[..., 3] << 24))             # (tiles, K, 2L)
+                 | (b4[..., 3] << 24))               # (tiles, wg, K, 2L)
         x = limbs[..., :nl]
         y = limbs[..., nl:]
-        y = jnp.where((sneg == 1)[..., None], f.neg(y), y)
+        sneg_t = jnp.transpose(sneg, (1, 0, 2))
+        y = jnp.where((sneg_t == 1)[..., None], f.neg(y), y)
 
-        xs = jnp.transpose(x, (1, 2, 0))           # (K, L, tiles)
-        ys = jnp.transpose(y, (1, 2, 0))
+        # (tiles, wg, K, L) -> (K, L, wg*tiles); lane = w*tiles + t
+        def to_kernel(a):
+            return jnp.transpose(a, (2, 3, 1, 0)).reshape(K, nl, C)
+        xs = to_kernel(x)
+        ys = to_kernel(y)
         flags = jnp.stack([is_real.astype(jnp.int32),
-                           is_dacc.astype(jnp.int32)], axis=1)  # (tiles,2,K)
-        flags = jnp.transpose(flags, (2, 1, 0))    # (K, 2, tiles)
+                           is_dacc.astype(jnp.int32)], axis=2)  # (wg,t,2,K)
+        flags = jnp.transpose(flags, (3, 2, 0, 1)).reshape(K, 2, C)
 
-        dx, dy, dz = fold(xs, ys, flags)           # per-tile sums (L, C)
-        # cross-tile reduce: roll-scan tree (one add instance in the graph).
-        # Straight-line montmuls on TPU (device-loop iterations are ~270us
-        # each there); loop-form on compile-bound CPU hosts.
-        import contextlib
-        from icicle_tpu.curves.group import get_group, Projective
-        from icicle_tpu.ops.msm import _prefix_scan_add
+        dx, dy, dz = fold(xs, ys, flags)             # (L, C)
+        from icicle_tpu.curves.group import get_group
         from icicle_tpu.math.bigint import mul_mode
+        import contextlib
         group = get_group(curve_name)
-        pts = Projective(dx.T, dy.T, dz.T)         # (C, L)
         mm = (mul_mode("unrolled") if backend == "pallas"
               else contextlib.nullcontext())
         with mm:
-            tot = _prefix_scan_add(group, pts)
-        return jnp.stack([tot.x[-1], tot.y[-1], tot.z[-1]])  # (3, L)
+            return _reduce_tiles(group, dx, dy, dz, wg, tiles)  # (wg, 3, L)
+
+    n_groups = -(-n_windows // wg)
+    w_pad = n_groups * wg
 
     @jax.jit
     def run(scalars, points_i8):
         digits = _signed_digits(scalars, c, nbits)          # (W, n_pad)
-        digits = digits.reshape(n_windows, tiles, T)
+        if w_pad != n_windows:
+            digits = jnp.concatenate(
+                [digits, jnp.zeros((w_pad - n_windows, digits.shape[1]),
+                                   digits.dtype)], axis=0)
+        digits = digits.reshape(n_groups, wg, tiles, T)
 
-        def body(_, dw):
-            return None, window_fn(points_i8, dw)
+        def body(_, dg):
+            return None, group_fn(points_i8, dg)
 
         _, wsums = jax.lax.scan(body, None, digits)
-        return wsums                                        # (W, 3, L)
+        return wsums.reshape(w_pad, 3, nl)[:n_windows]      # (W, 3, L)
 
     return run
 
@@ -206,7 +249,7 @@ def msm_tpu2(curve_name: str, scalars, points_x, points_y,
     fq, fr = curve.fq, curve.fr
     n = scalars.shape[0]
     nbits = fr.modulus.bit_length()
-    c, M, T, tiles, n_windows = _plan2(n, c, nbits, T)
+    c, M, T, tiles, n_windows, wg = _plan2(n, c, nbits, T)
     n_pad = tiles * T
     if n_pad != n:
         scalars = jnp.concatenate(
@@ -217,7 +260,7 @@ def msm_tpu2(curve_name: str, scalars, points_x, points_y,
     py_m = fq.to_mont(points_y)
     pts_i8 = _prep_points_i8(fq, px_m, py_m, n_pad, tiles, T)
 
-    run = _jitted_pipeline2(curve_name, c, nbits, n_pad, T, tiles, backend)
+    run = _jitted_pipeline2(curve_name, c, nbits, n_pad, T, tiles, wg, backend)
     wsums = np.asarray(run(scalars, pts_i8))                # (W, 3, L)
 
     # host Horner over windows (W points; python ints)

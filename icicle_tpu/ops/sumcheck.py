@@ -202,6 +202,16 @@ def sumcheck_prove(f: Field, mle_polys: Sequence, claimed_sum: int,
     Returns (SumcheckProof, challenges list).
     """
     transcript_cfg = transcript_cfg or SumcheckTranscriptConfig()
+    if cfg is not None and cfg.use_extension_field:
+        # parity with the reference: sumcheck.h:71-73 / cpu_sumcheck.h:30-33
+        # reject use_extension_field as unsupported (not silently ignore it)
+        from icicle_tpu.runtime.errors import IcicleException, IcicleError
+        raise IcicleException(IcicleError.INVALID_ARGUMENT,
+                              "SumcheckConfig::use_extension_field = true is "
+                              "currently unsupported (matches reference)")
+    # cfg.batch is a hash-batching knob for the closed CUDA backend; the CPU
+    # reference ignores it and our round pass always evaluates the full
+    # element axis in one fused batch, which subsumes it.
     n = mle_polys[0].shape[0]
     assert n & (n - 1) == 0 and n >= 2
     assert len(mle_polys) <= MAX_NOF_POLYNOMIALS

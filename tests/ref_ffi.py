@@ -299,3 +299,23 @@ def bn254_msm(scalars_u32: np.ndarray, points_u32: np.ndarray) -> np.ndarray:
     rc = fn(scal.ctypes.data, pts.ctypes.data, n, C.byref(cfg), out.ctypes.data)
     assert rc == 0, f"bn254_msm rc={rc}"
     return out
+
+
+@_isolated
+def bn254_pairing(p_u32: np.ndarray, q_u32: np.ndarray) -> np.ndarray:
+    """Golden bn254 optimal-ate pairing (src/pairing.cpp FFI).
+
+    p (16,) u32 = G1 affine x||y limbs canonical; q (32,) u32 = G2 affine
+    x.c0||x.c1||y.c0||y.c1. Returns the Fp12 TargetField as (96,) u32 in
+    reference memory order (c0.c0.c0 .. c1.c2.c1, 8 limbs each)."""
+    build = os.environ.get("ICICLE_REF_BUILD_BN254", "/tmp/icicle_build_bn254")
+    dev = C.CDLL(os.path.join(build, "libicicle_device.so"), mode=C.RTLD_GLOBAL)
+    cur = C.CDLL(os.path.join(build, "libicicle_curve_bn254.so"), mode=C.RTLD_GLOBAL)
+    fn = cur.bn254_pairing
+    fn.restype = None
+    fn.argtypes = [C.c_void_p, C.c_void_p, C.c_void_p]
+    p = np.ascontiguousarray(p_u32, dtype=np.uint32)
+    q = np.ascontiguousarray(q_u32, dtype=np.uint32)
+    out = np.zeros((96,), dtype=np.uint32)
+    fn(p.ctypes.data, q.ctypes.data, out.ctypes.data)
+    return out
