@@ -127,20 +127,22 @@ class FriProof:
         return self.query_proofs[0][round_idx][0].root
 
     def serialize(self, f: Field) -> bytes:
-        """Binary proof encoding (reference F22, fri_proof_serializer.h
-        structure: nof_queries/rounds, per-slot merkle proofs, final poly,
-        pow nonce)."""
+        """Reference BinarySerializer<FriProof> layout
+        (fri_proof_serializer.h): u64 nof_query_rows (= 2*nof_queries; row
+        2q = query proof, row 2q+1 = symmetric proof, matching
+        cpu_fri_backend.h:179-183), each row = u64 nof_rounds + that many
+        reference-layout MerkleProofs; then u64 final_poly_size + raw F
+        elements; then u64 pow_nonce."""
         import struct
         eb = max(f.nlimbs, 1) * 4
         out = bytearray()
-        out += struct.pack("<QQQ", len(self.query_proofs), self.nof_rounds,
-                           len(self.final_poly))
+        out += struct.pack("<Q", 2 * len(self.query_proofs))
         for per_round in self.query_proofs:
-            for pr, prs in per_round:
-                for p in (pr, prs):
-                    blob = p.serialize()
-                    out += struct.pack("<I", len(blob))
-                    out += blob
+            for slot in range(2):
+                out += struct.pack("<Q", len(per_round))
+                for pair in per_round:
+                    out += pair[slot].serialize()
+        out += struct.pack("<Q", len(self.final_poly))
         for v in self.final_poly:
             out += int(v).to_bytes(eb, "little")
         out += struct.pack("<Q", self.pow_nonce)
@@ -151,20 +153,33 @@ class FriProof:
         import struct
         eb = max(f.nlimbs, 1) * 4
         off = 0
-        nq, nr, nf = struct.unpack_from("<QQQ", data, off)
-        off += 24
+        (nrows,) = struct.unpack_from("<Q", data, off)
+        off += 8
+
+        def read_proof():
+            nonlocal off
+            # parse one reference-layout MerkleProof in place
+            _pruned, _idx, nleaf = struct.unpack_from("<BQQ", data, off)
+            ln = struct.calcsize("<BQQ") + nleaf
+            (nroot,) = struct.unpack_from("<Q", data, off + ln)
+            ln += 8 + nroot
+            (npath,) = struct.unpack_from("<Q", data, off + ln)
+            ln += 8 + npath
+            p = MerkleProof.deserialize(data[off:off + ln])
+            off += ln
+            return p
+
+        rows = []
+        for _ in range(nrows):
+            (nr,) = struct.unpack_from("<Q", data, off)
+            off += 8
+            rows.append([read_proof() for _ in range(nr)])
         qps = []
-        for _ in range(nq):
-            per_round = []
-            for _ in range(nr):
-                pair = []
-                for _ in range(2):
-                    (ln,) = struct.unpack_from("<I", data, off)
-                    off += 4
-                    pair.append(MerkleProof.deserialize(data[off:off + ln]))
-                    off += ln
-                per_round.append(tuple(pair))
-            qps.append(per_round)
+        for q in range(nrows // 2):
+            qps.append([(rows[2 * q][r], rows[2 * q + 1][r])
+                        for r in range(len(rows[2 * q]))])
+        (nf,) = struct.unpack_from("<Q", data, off)
+        off += 8
         final = []
         for _ in range(nf):
             final.append(int.from_bytes(data[off:off + eb], "little"))

@@ -36,35 +36,42 @@ class MerkleProof:
     pruned: bool
 
     def serialize(self) -> bytes:
+        """Reference BinarySerializer<MerkleProof> layout
+        (merkle_proof_serializer.h): u8 pruned, u64 leaf_index,
+        u64 leaf_nbytes + leaf, u64 root_nbytes + root, u64 path_nbytes +
+        the path segments as ONE flat byte blob."""
         import struct
-        out = [struct.pack("<BQI", int(self.pruned), self.leaf_idx, len(self.path))]
-        out.append(struct.pack("<I", self.leaf.size))
-        out.append(self.leaf.astype("<u4").tobytes())
-        out.append(struct.pack("<I", self.root.size))
-        out.append(self.root.astype("<u4").tobytes())
-        for seg in self.path:
-            out.append(struct.pack("<I", seg.size))
-            out.append(seg.astype("<u4").tobytes())
-        return b"".join(out)
+        leaf = self.leaf.astype("<u4").tobytes()
+        root = self.root.astype("<u4").tobytes()
+        path = b"".join(seg.astype("<u4").tobytes() for seg in self.path)
+        return (struct.pack("<BQQ", int(self.pruned), self.leaf_idx, len(leaf))
+                + leaf + struct.pack("<Q", len(root)) + root
+                + struct.pack("<Q", len(path)) + path)
 
     @classmethod
     def deserialize(cls, data: bytes) -> "MerkleProof":
+        """Inverse of serialize. The path arrives as one flat blob (exactly
+        what the reference stores); MerkleTree.verify re-segments it from the
+        tree's layer geometry."""
         import struct
         off = 0
-        pruned, leaf_idx, npath = struct.unpack_from("<BQI", data, off)
-        off += struct.calcsize("<BQI")
+        pruned, leaf_idx, nleaf = struct.unpack_from("<BQQ", data, off)
+        off += struct.calcsize("<BQQ")
 
-        def read_arr():
+        def read_arr(nbytes):
             nonlocal off
-            (n,) = struct.unpack_from("<I", data, off)
-            off += 4
-            arr = np.frombuffer(data, dtype="<u4", count=n, offset=off).copy()
-            off += 4 * n
+            arr = np.frombuffer(data, dtype="<u4", count=nbytes // 4,
+                                offset=off).copy()
+            off += nbytes
             return arr
 
-        leaf = read_arr()
-        root = read_arr()
-        path = [read_arr() for _ in range(npath)]
+        leaf = read_arr(nleaf)
+        (nroot,) = struct.unpack_from("<Q", data, off)
+        off += 8
+        root = read_arr(nroot)
+        (npath,) = struct.unpack_from("<Q", data, off)
+        off += 8
+        path = [read_arr(npath)]
         return cls(leaf=leaf, leaf_idx=leaf_idx, root=root, path=path,
                    pruned=bool(pruned))
 
@@ -163,14 +170,24 @@ class MerkleTree:
                            root=self.get_root(), path=path, pruned=pruned)
 
     def verify(self, proof: MerkleProof) -> bool:
-        """Recompute the root from the proof (reference MerkleTree::verify)."""
+        """Recompute the root from the proof (reference MerkleTree::verify).
+
+        The path is consumed as a flat word stream so both locally built
+        (per-layer segments) and deserialized (one flat blob) proofs verify.
+        """
+        flat = np.concatenate(proof.path) if len(proof.path) else \
+            np.zeros((0,), np.uint32)
+        off = 0
         cur = proof.leaf
         idx = proof.leaf_idx
         for i, h in enumerate(self.hashers):
             arity = self.arities[i]
             pos = idx % arity
             w = cur.size
-            seg = proof.path[i].reshape(arity - 1 if proof.pruned else arity, -1)
+            need = (arity - 1 if proof.pruned else arity) * w
+            seg = flat[off:off + need].reshape(
+                arity - 1 if proof.pruned else arity, -1)
+            off += need
             if proof.pruned:
                 parts = [seg[j] for j in range(pos)] + [cur] + \
                         [seg[j] for j in range(pos, arity - 1)]

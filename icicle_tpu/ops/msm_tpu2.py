@@ -8,18 +8,23 @@ This pipeline has NONE of those:
 
   per window-group (wg windows batched into the lane axis so every stage
   amortizes its dispatch/DMA floor):
-  1. signed digits                                     (XLA, shared with v1)
+  1. signed digits                                     (XLA)
   2. per (window, tile of T points): single-u32 packed row-sort
      (descending key | neg-bit | source idx), with 2^(c-1) dummy slots
      appended so every bucket key occurs in every tile  (lax.sort, 1 column)
-  3. point bytes routed to sorted slots by one-hot MATMULS on the MXU
-     (dense compute instead of random access)
+  3. point bytes routed to sorted slots by one-hot bf16 MATMULS on the MXU
+     (dense compute instead of random access; exact because one-hot rows
+     have a single nonzero and bytes fit bf16's 8-bit significand)
   4. Pallas suffix-fold kernel over C = wg*tiles lanes: two running
      accumulators per lane (E += P; D += E at key-run ends) — see
      pallas/msm_fold2.py for why this equals sum_k k*B_k
   5. cross-tile roll-scan reduce (per window) + window Horner on host ints.
 
-Every stage is O(n) sequential HBM traffic + MXU matmuls + VPU limb math.
+TPU layout rule observed throughout: uint32 arrays are tiled (8, 128) on
+their last two axes, so every large array keeps a BIG trailing axis (K, n,
+or C = wg*tiles); (n, 8)-shaped limb arrays would be padded 16x in HBM.
+Scalars/points therefore travel limb-MAJOR ((L, n)) at the jit boundary.
+Lanes are ordered tile-major: lane = t*wg + w.
 """
 
 from __future__ import annotations
@@ -32,7 +37,7 @@ import jax.numpy as jnp
 
 from icicle_tpu.curves.params import get_curve
 from icicle_tpu.curves.host_ec import ec_add, ec_dbl, INF
-from icicle_tpu.ops.msm import _signed_digits
+from icicle_tpu.math.bigint import _sub_limbs
 from icicle_tpu.pallas.msm_fold2 import make_suffix_fold, make_suffix_fold_xla
 
 _IDX_BITS = 13
@@ -58,27 +63,52 @@ def _plan2(n: int, c: int | None, nbits: int, T: int | None):
     n_windows = (nbits + c) // c + 1
     tiles = -(-n // T)
     tiles = 1 << max(0, (tiles - 1).bit_length())
-    # windows per fold pass: target <= 16384 lanes, bounded by ~5 GB of
-    # permuted coordinate arrays per pass; then balance the groups
-    byte_budget = 5 << 30
-    per_window = tiles * (T + M) * 8 * 4 * 2
+    # windows per fold pass: target <= 16384 lanes, bounded by ~4 GB of
+    # in-flight permuted data (~256B per slot incl. bf16 padding), balanced
+    byte_budget = 4 << 30
+    per_window = tiles * (T + M) * 256
     wg = max(1, min(n_windows, 16384 // tiles, byte_budget // per_window))
     n_groups = -(-n_windows // wg)
     wg = -(-n_windows // n_groups)
     return c, M, T, tiles, n_windows, wg
 
 
-def _reduce_tiles(group, dx, dy, dz, wg: int, tiles: int):
-    """Per-window sum over tiles: (L, wg*tiles) -> (wg, 3, L).
+def _signed_digits_t(scalars_t, c: int, nbits: int):
+    """(Ls, N) u32 canonical limb-major scalars -> (W, N) int32 signed digits
+    (same math as ops/msm._signed_digits, limb-major input layout)."""
+    n_windows = (nbits + c) // c + 1
+    half = 1 << (c - 1)
+    full = 1 << c
+    mask = jnp.uint32(full - 1)
+    nlimbs = scalars_t.shape[0]
 
-    Roll-scan tree along the tile axis (one add instance in the graph),
-    batched over the window axis.
-    """
+    digits = []
+    carry = jnp.zeros(scalars_t.shape[1:], dtype=jnp.int32)
+    for w in range(n_windows):
+        bit = w * c
+        li, off = bit >> 5, bit & 31
+        if li >= nlimbs:
+            raw = jnp.zeros(scalars_t.shape[1:], dtype=jnp.uint32)
+        else:
+            raw = scalars_t[li] >> off
+            if off + c > 32 and li + 1 < nlimbs:
+                raw = raw | (scalars_t[li + 1] << (32 - off))
+        v = (raw & mask).astype(jnp.int32) + carry
+        is_high = v > half
+        digits.append(jnp.where(is_high, v - full, v))
+        carry = is_high.astype(jnp.int32)
+    return jnp.stack(digits, axis=0)
+
+
+def _reduce_tiles(group, dx, dy, dz, wg: int, tiles: int):
+    """Per-window sum over tiles: (L, C=tiles*wg, tile-major lanes) ->
+    (wg, 3, L). Roll-scan tree along the tile axis (one add instance in the
+    graph), batched over the window axis."""
     from icicle_tpu.curves.group import Projective
 
     nl = dx.shape[0]
-    # (L, wg*tiles) -> (tiles, wg, L)
-    arr = lambda a: jnp.transpose(a.reshape(nl, wg, tiles), (2, 1, 0))
+    # (L, tiles*wg) -> (tiles, wg, L)
+    arr = lambda a: jnp.transpose(a.reshape(nl, tiles, wg), (1, 2, 0))
     pts = Projective(arr(dx), arr(dy), arr(dz))
     steps = max(1, (tiles - 1).bit_length())
     shifts = jnp.asarray([1 << k for k in range(steps)], dtype=jnp.int32)
@@ -102,13 +132,13 @@ def _jitted_pipeline2(curve_name: str, c: int, nbits: int, n_pad: int, T: int,
                       tiles: int, wg: int, backend: str):
     curve = get_curve(curve_name)
     fq = curve.fq
-    f = fq.engine
     nl = fq.nlimbs
     M = 1 << (c - 1)
     K = T + M
     n_windows = (nbits + c) // c + 1
     kmax = M
     C = wg * tiles
+    p32 = [np.uint32(v) for v in fq.engine.p32]
 
     if backend == "pallas":
         fold = make_suffix_fold(curve_name, K, C)
@@ -120,8 +150,8 @@ def _jitted_pipeline2(curve_name: str, c: int, nbits: int, n_pad: int, T: int,
     dummy_pack = ((jnp.uint32(kmax) - jnp.arange(1, M + 1, dtype=jnp.uint32))
                   << _KEY_SHIFT) | jnp.uint32(_IDX_MASK)
 
-    def group_fn(points_i8, digits_g):
-        """points_i8 (tiles, T, 2L*4) int8 biased bytes; digits_g
+    def group_fn(points_u8, digits_g):
+        """points_u8 (tiles, T, 8L) Montgomery coord bytes (x||y); digits_g
         (wg, tiles, T) int32 -> window sums (wg, 3, L) u32 Montgomery."""
         key = jnp.abs(digits_g).astype(jnp.uint32)
         neg = (digits_g < 0).astype(jnp.uint32)
@@ -142,9 +172,8 @@ def _jitted_pipeline2(curve_name: str, c: int, nbits: int, n_pad: int, T: int,
         # one-hot permute on the MXU, chunked over tiles; all wg windows of a
         # tile share one dot_general (rows = wg*K). bf16 is exact here: bytes
         # <= 255 fit the 8-bit significand and every one-hot row has exactly
-        # ONE nonzero, so no accumulation ever happens. Dummy rows are
-        # all-zero -> zero bytes (handled by is_real in the fold kernel).
-        nbytes = points_i8.shape[-1]
+        # ONE nonzero (dummy rows: none -> zero bytes; handled by is_real).
+        nbytes = points_u8.shape[-1]
 
         def chunk(_, args):
             si, pb = args               # (B, wg, K), (B, T, nbytes)
@@ -163,26 +192,35 @@ def _jitted_pipeline2(curve_name: str, c: int, nbits: int, n_pad: int, T: int,
         _, perm = jax.lax.scan(
             chunk, None,
             (sid_t.reshape(tiles // B, B, wg, K),
-             points_i8.reshape(tiles // B, B, T, nbytes)))
-        perm = perm.reshape(tiles, wg, K, nbytes)
+             points_u8.reshape(tiles // B, B, T, nbytes)))
+        # (tiles/B, B, wg*K, nbytes) == (C', K, nbytes) with C' = tiles*wg
+        # (tile-major); 3D transpose keeps every axis large (no tile padding)
+        perm = perm.reshape(C, K, nbytes)
+        perm = jnp.transpose(perm, (1, 2, 0))        # (K, nbytes, C)
 
-        b = perm.astype(jnp.uint32)
-        b4 = b.reshape(tiles, wg, K, 2 * nl, 4)
-        limbs = (b4[..., 0] | (b4[..., 1] << 8) | (b4[..., 2] << 16)
-                 | (b4[..., 3] << 24))               # (tiles, wg, K, 2L)
-        x = limbs[..., :nl]
-        y = limbs[..., nl:]
-        sneg_t = jnp.transpose(sneg, (1, 0, 2))
-        y = jnp.where((sneg_t == 1)[..., None], f.neg(y), y)
+        bu = perm.astype(jnp.uint32)
+        xl = [bu[:, 4 * i] | (bu[:, 4 * i + 1] << 8)
+              | (bu[:, 4 * i + 2] << 16) | (bu[:, 4 * i + 3] << 24)
+              for i in range(nl)]                    # each (K, C)
+        yl = [bu[:, 4 * (nl + i)] | (bu[:, 4 * (nl + i) + 1] << 8)
+              | (bu[:, 4 * (nl + i) + 2] << 16)
+              | (bu[:, 4 * (nl + i) + 3] << 24) for i in range(nl)]
 
-        # (tiles, wg, K, L) -> (K, L, wg*tiles); lane = w*tiles + t
-        def to_kernel(a):
-            return jnp.transpose(a, (2, 3, 1, 0)).reshape(K, nl, C)
-        xs = to_kernel(x)
-        ys = to_kernel(y)
-        flags = jnp.stack([is_real.astype(jnp.int32),
-                           is_dacc.astype(jnp.int32)], axis=2)  # (wg,t,2,K)
-        flags = jnp.transpose(flags, (3, 2, 0, 1)).reshape(K, 2, C)
+        # negate y where the digit was negative: y -> p - y (real lanes only;
+        # dummies have sneg == 0). borrow-free since 0 < y < p for reals.
+        sneg_c = jnp.transpose(sneg, (1, 0, 2)).reshape(C, K).T  # (K, C)
+        bp = [jnp.broadcast_to(v, yl[0].shape) for v in p32]
+        ynegl, _ = _sub_limbs(bp, yl)
+        use_neg = sneg_c == 1
+        yl = [jnp.where(use_neg, a, b) for a, b in zip(ynegl, yl)]
+
+        xs = jnp.stack(xl, axis=1)                   # (K, L, C)
+        ys = jnp.stack(yl, axis=1)
+
+        def flag_c(a):   # (wg, tiles, K) -> (K, C)
+            return jnp.transpose(a, (1, 0, 2)).reshape(C, K).T
+        flags = jnp.stack([flag_c(is_real.astype(jnp.int32)),
+                           flag_c(is_dacc.astype(jnp.int32))], axis=1)
 
         dx, dy, dz = fold(xs, ys, flags)             # (L, C)
         from icicle_tpu.curves.group import get_group
@@ -198,8 +236,8 @@ def _jitted_pipeline2(curve_name: str, c: int, nbits: int, n_pad: int, T: int,
     w_pad = n_groups * wg
 
     @jax.jit
-    def run(scalars, points_i8):
-        digits = _signed_digits(scalars, c, nbits)          # (W, n_pad)
+    def run(scalars_t, points_u8):
+        digits = _signed_digits_t(scalars_t, c, nbits)      # (W, n_pad)
         if w_pad != n_windows:
             digits = jnp.concatenate(
                 [digits, jnp.zeros((w_pad - n_windows, digits.shape[1]),
@@ -207,7 +245,7 @@ def _jitted_pipeline2(curve_name: str, c: int, nbits: int, n_pad: int, T: int,
         digits = digits.reshape(n_groups, wg, tiles, T)
 
         def body(_, dg):
-            return None, group_fn(points_i8, dg)
+            return None, group_fn(points_u8, dg)
 
         _, wsums = jax.lax.scan(body, None, digits)
         return wsums.reshape(w_pad, 3, nl)[:n_windows]      # (W, 3, L)
@@ -216,26 +254,33 @@ def _jitted_pipeline2(curve_name: str, c: int, nbits: int, n_pad: int, T: int,
 
 
 @functools.lru_cache(maxsize=None)
-def _prep_fn(nl: int, n: int, n_pad: int, tiles: int, T: int):
+def _prep_fn(curve_name: str, n_pad: int, tiles: int, T: int):
+    """(L, n_pad) canonical limb-major coords -> (tiles, T, 8L) Montgomery
+    bytes, converted in column chunks to bound the (chunk, L) padded temps."""
+    fq = get_curve(curve_name).fq
+    nl = fq.nlimbs
+    ch = T if tiles < 64 else 64 * T
+    n_chunks = n_pad // ch
+    assert n_chunks * ch == n_pad
+
     @jax.jit
-    def prep(px, py):
-        limbs = jnp.concatenate([px, py], axis=-1)          # (n, 2L)
-        pad = n_pad - n
-        if pad:
-            limbs = jnp.concatenate(
-                [limbs, jnp.zeros((pad, 2 * nl), jnp.uint32)], axis=0)
-        b = jnp.stack([limbs & 0xFF, (limbs >> 8) & 0xFF,
-                       (limbs >> 16) & 0xFF, (limbs >> 24) & 0xFF], axis=-1)
-        b = b.reshape(n_pad, 8 * nl).astype(jnp.uint8)
-        return b.reshape(tiles, T, 8 * nl)
+    def prep(px_t, py_t):
+        def body(cols):
+            x_t, y_t = cols                          # (L, ch) each
+            xm = fq.to_mont(x_t.T)                   # (ch, L) Montgomery
+            ym = fq.to_mont(y_t.T)
+            limbs = jnp.concatenate([xm, ym], axis=-1)   # (ch, 2L)
+            b = jnp.stack([limbs & 0xFF, (limbs >> 8) & 0xFF,
+                           (limbs >> 16) & 0xFF, (limbs >> 24) & 0xFF],
+                          axis=-1)
+            return b.reshape(ch, 8 * nl).astype(jnp.uint8)
+
+        xr = px_t.reshape(nl, n_chunks, ch).transpose(1, 0, 2)
+        yr = py_t.reshape(nl, n_chunks, ch).transpose(1, 0, 2)
+        out = jax.lax.map(body, (xr, yr))            # (n_chunks, ch, 8L)
+        return out.reshape(tiles, T, 8 * nl)
 
     return prep
-
-
-def _prep_points_i8(fq, px_mont, py_mont, n_pad: int, tiles: int, T: int):
-    """Montgomery affine coords -> (tiles, T, 8L) u8 bytes."""
-    return _prep_fn(fq.nlimbs, px_mont.shape[0], n_pad, tiles, T)(
-        px_mont, py_mont)
 
 
 def msm_tpu2(curve_name: str, scalars, points_x, points_y,
@@ -252,17 +297,19 @@ def msm_tpu2(curve_name: str, scalars, points_x, points_y,
     nbits = fr.modulus.bit_length()
     c, M, T, tiles, n_windows, wg = _plan2(n, c, nbits, T)
     n_pad = tiles * T
-    if n_pad != n:
-        scalars = jnp.concatenate(
-            [jnp.asarray(scalars),
-             jnp.zeros((n_pad - n, scalars.shape[1]), jnp.uint32)], axis=0)
 
-    px_m = fq.to_mont(points_x)
-    py_m = fq.to_mont(points_y)
-    pts_i8 = _prep_points_i8(fq, px_m, py_m, n_pad, tiles, T)
+    def pad_t(a, width):
+        out = np.zeros((width, n_pad), dtype=np.uint32)
+        out[:, :n] = np.asarray(a).T
+        return out
+
+    scal_t = pad_t(scalars, scalars.shape[1])
+    px_t = pad_t(points_x, fq.nlimbs)
+    py_t = pad_t(points_y, fq.nlimbs)
+    pts_u8 = _prep_fn(curve_name, n_pad, tiles, T)(px_t, py_t)
 
     run = _jitted_pipeline2(curve_name, c, nbits, n_pad, T, tiles, wg, backend)
-    wsums = np.asarray(run(scalars, pts_i8))                # (W, 3, L)
+    wsums = np.asarray(run(scal_t, pts_u8))                 # (W, 3, L)
 
     # host Horner over windows (W points; python ints)
     p = fq.modulus

@@ -319,3 +319,31 @@ def bn254_pairing(p_u32: np.ndarray, q_u32: np.ndarray) -> np.ndarray:
     out = np.zeros((96,), dtype=np.uint32)
     fn(p.ctypes.data, q.ctypes.data, out.ctypes.data)
     return out
+
+
+@_isolated
+def babybear_fri_proof_reserialize(blob_in: bytes) -> bytes:
+    """Round a serialized FriProof<babybear> through the reference
+    BinarySerializer (fri_c_api.cpp:202-232): deserialize + re-serialize.
+    Byte-identical output proves layout parity."""
+    dev, fld, hsh = _libs("babybear")
+    des = fld.babybear_fri_proof_deserialize
+    des.restype = C.c_int
+    des.argtypes = [C.POINTER(C.c_void_p), C.c_char_p, C.c_size_t]
+    size_fn = fld.babybear_fri_proof_get_serialized_size
+    size_fn.restype = C.c_int
+    size_fn.argtypes = [C.c_void_p, C.POINTER(C.c_size_t)]
+    ser = fld.babybear_fri_proof_serialize
+    ser.restype = C.c_int
+    ser.argtypes = [C.c_void_p, C.c_char_p, C.c_size_t]
+
+    handle = C.c_void_p()
+    rc = des(C.byref(handle), blob_in, len(blob_in))
+    assert rc == 0, f"deserialize rc={rc}"
+    size = C.c_size_t()
+    rc = size_fn(handle, C.byref(size))
+    assert rc == 0, f"size rc={rc}"
+    buf = C.create_string_buffer(size.value)
+    rc = ser(handle, buf, size.value)
+    assert rc == 0, f"serialize rc={rc}"
+    return np.frombuffer(buf.raw, dtype=np.uint8)

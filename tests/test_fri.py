@@ -89,3 +89,22 @@ def test_pow_roundtrip():
     if nonce > 0:
         ok_bad, _ = proof_of_work_verify(h, b"icicle-pow-challenge", 10, nonce - 1)
         assert not ok_bad
+
+
+def test_fri_proof_serialization_reference_parity():
+    """Serialize a real babybear FRI proof here, deserialize+reserialize it
+    through the reference BinarySerializer FFI, and require byte identity
+    (serialization.h:40-112 + fri_proof_serializer.h)."""
+    from tests import ref_ffi
+    if not ref_ffi.available("babybear"):
+        pytest.skip("babybear reference build not present")
+    rng = np.random.default_rng(77)
+    log_n = 6
+    cfg = FriConfig(stopping_degree=0, pow_bits=0, nof_queries=4)
+    tcfg = FriTranscriptConfig()
+    evals = low_degree_evals(rng, log_n, degree=0)
+    h = Keccak256()
+    proof = fri_prove(F, evals, cfg, tcfg, h, h)
+    blob = proof.serialize(F)
+    back = ref_ffi.babybear_fri_proof_reserialize(blob)
+    assert bytes(back) == blob

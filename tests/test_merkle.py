@@ -56,8 +56,23 @@ def test_proof_serialization_roundtrip(rng):
     back = MerkleProof.deserialize(data)
     assert back.leaf_idx == 5 and back.pruned
     assert np.array_equal(back.root, proof.root)
-    assert all(np.array_equal(a, b) for a, b in zip(back.path, proof.path))
+    # the reference layout stores the path as one flat blob
+    # (merkle_proof_serializer.h); contents must match the segment concat
+    assert np.array_equal(np.concatenate(back.path),
+                          np.concatenate(proof.path))
     assert tree.verify(back)
+    # reference byte layout: u8 pruned, u64 leaf_idx, u64-sized blobs
+    import struct
+    pruned, idx, nleaf = struct.unpack_from("<BQQ", data, 0)
+    assert (pruned, idx) == (1, 5)
+    assert nleaf == proof.leaf.size * 4
+    off = 17 + nleaf
+    (nroot,) = struct.unpack_from("<Q", data, off)
+    assert nroot == proof.root.size * 4
+    off += 8 + nroot
+    (npath,) = struct.unpack_from("<Q", data, off)
+    assert npath == sum(s.size for s in proof.path) * 4
+    assert len(data) == off + 8 + npath
 
 
 def test_padding_policies(rng):
