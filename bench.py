@@ -1,13 +1,14 @@
-"""Headline benchmark: babybear NTT butterflies/sec on the local accelerator.
+"""Headline benchmarks on the local accelerator.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline: the driver's north-star is babybear NTT at 2^26 (BASELINE.json);
-the reference publishes no machine-readable NTT number (BASELINE.md), so
-vs_baseline is measured against the reference CPU backend's throughput when
-available, else reported as 0.0.
+Defaults follow the driver's north-star configs (BASELINE.json): babybear
+NTT at 2^26 butterflies/s; BENCH_KERNEL=msm switches to bn254 G1 MSM
+points/s at 2^24 via the suffix-fold pipeline, verified against a host
+oracle (the points are a repeated real curve point, so the result must
+equal (sum of scalars) * P — the bench doubles as a correctness gate).
 
-Env knobs: BENCH_LOGN (default 24), BENCH_BATCH, BENCH_KERNEL=ntt|msm
-(msm: bn254 points/s via the Pallas pipeline at BENCH_LOGN, default 16).
+Env knobs: BENCH_LOGN (default 26 / 24 for msm), BENCH_BATCH,
+BENCH_KERNEL=ntt|msm, BENCH_NTT_BACKEND=auto|xla|pallas.
 """
 
 import json
@@ -17,45 +18,73 @@ import time
 
 
 def _bench_msm() -> None:
-    size_log = int(os.environ.get("BENCH_LOGN", "16"))
-    import jax
-    import jax.numpy as jnp
+    size_log = int(os.environ.get("BENCH_LOGN", "24"))
     import numpy as np
 
-    from icicle_tpu.ops.msm_tpu import _jitted_pipeline, _plan, _auto_wchunk
+    from icicle_tpu.curves.params import get_curve
+    from icicle_tpu.ops.msm_tpu2 import msm_tpu2
+    from tests.ec_ref import ec_mul
 
+    curve = get_curve("bn254")
+    fr, fq = curve.fr, curve.fq
+    mod = fq.modulus
     n = 1 << size_log
-    c, n_windows, k_steps, lanes = _plan(n, None, 254, 1024)
-    wc = _auto_wchunk(n, n_windows, 8)
-    backend = "pallas" if jax.default_backend() != "cpu" else "xla"
-    run = _jitted_pipeline("bn254", c, 254, n, lanes, backend, wc)
     rng = np.random.default_rng(0)
-    scal = jnp.asarray(rng.integers(0, 2**32, size=(n, 8), dtype=np.uint32))
-    px = jnp.asarray(rng.integers(0, 2**31, size=(n, 8), dtype=np.uint32))
-    py = jnp.asarray(rng.integers(0, 2**31, size=(n, 8), dtype=np.uint32))
-    jax.block_until_ready(run(scal, px, py))  # compile + warmup
-    iters = 3
+    # one real curve point repeated: the pipeline has no data-dependent
+    # memory access, so throughput matches distinct points, and the result
+    # is verifiable as (sum of scalars) * P on the host
+    P = ec_mul((curve.gen_x, curve.gen_y), 0xDEADBEEF, mod)
+    scal_ints = rng.integers(0, 1 << 62, size=n, dtype=np.uint64)
+    scal = np.zeros((n, 8), dtype=np.uint32)
+    scal[:, 0] = scal_ints & 0xFFFFFFFF
+    scal[:, 1] = scal_ints >> 32
+    # spread scalars over the full field width deterministically
+    mix = rng.integers(0, 2**32, size=(n, 6), dtype=np.uint32)
+    scal[:, 2:] = mix
+    px = np.broadcast_to(np.asarray(fq.from_ints([P[0]]))[0], (n, 8)).copy()
+    py = np.broadcast_to(np.asarray(fq.from_ints([P[1]]))[0], (n, 8)).copy()
+
+    t0 = time.perf_counter()
+    res = msm_tpu2("bn254", scal, px, py, backend="pallas")
+    warm = time.perf_counter() - t0
+
+    iters = 2 if size_log <= 20 else 1
     t0 = time.perf_counter()
     for _ in range(iters):
-        r = run(scal, px, py)
-    jax.block_until_ready(r)
+        res = msm_tpu2("bn254", scal, px, py, backend="pallas")
     dt = (time.perf_counter() - t0) / iters
     rate = n / dt
-    # reference GPU headline: 84.3M points/s (bls12-377 2^24, RTX 3090 Ti)
+
+    # correctness gate: column-wise limb sums give sum(scalars) in O(1) host
+    total = 0
+    for limb in range(8):
+        col = scal[:, limb]
+        total += int(np.sum(col, dtype=np.uint64)) << (32 * limb)
+    total %= fr.modulus
+    want = ec_mul(P, total, mod)
+    want = want if want is not None else (0, 0)
+    ok = res == want
+
     print(json.dumps({
         "metric": f"bn254_msm_2^{size_log}_points_per_s",
         "value": rate,
         "unit": "points/s",
+        # reference GPU headline: 84.3M points/s (bls12-377 2^24, RTX 3090Ti)
         "vs_baseline": rate / 84.3e6,
+        "bit_exact": bool(ok),
+        "warmup_s": warm,
     }))
+    if not ok:
+        sys.exit(1)
 
 
 def main() -> None:
     if os.environ.get("BENCH_KERNEL", "ntt") == "msm":
         _bench_msm()
         return
-    size_log = int(os.environ.get("BENCH_LOGN", "24"))
+    size_log = int(os.environ.get("BENCH_LOGN", "26"))
     batch = int(os.environ.get("BENCH_BATCH", "1"))
+    backend = os.environ.get("BENCH_NTT_BACKEND", None)
 
     import jax
     import jax.numpy as jnp
@@ -70,9 +99,11 @@ def main() -> None:
     N.ntt_init_domain(f, size_log)
 
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.integers(0, f.modulus, size=(batch, n), dtype=np.uint32))
+    shape = (batch, n) if batch > 1 else (n,)
+    x = jnp.asarray(rng.integers(0, f.modulus, size=shape, dtype=np.uint32))
 
-    run = lambda v: N.ntt_jit(f, v, NTTDir.FORWARD, NTTConfig())
+    cfg = NTTConfig(backend=backend)
+    run = lambda v: N.ntt_jit(f, v, NTTDir.FORWARD, cfg)
     y = jax.block_until_ready(run(x))  # compile + warmup
 
     iters = 5

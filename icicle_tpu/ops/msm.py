@@ -41,6 +41,7 @@ from icicle_tpu.curves.group import (
 class MSMConfig:
     """Mirror of the reference MSMConfig (msm.h:19-97); TPU-relevant fields."""
     c: int = 0                     # window bits; 0 = auto
+    bitsize: int = 0               # scalar bits; 0 = field default
     precompute_factor: int = 1
     batch_size: int = 1
     are_scalars_montgomery_form: bool = False
@@ -219,13 +220,98 @@ def _jitted_msm(curve_name: str, c: int, nbits: int, g2: bool = False):
     return run
 
 
+def precompute_shift(nbits: int, c: int, precompute_factor: int) -> int:
+    """Doubling count between precomputed copies (cpu_msm.hpp:468-469):
+    shift = c * ceil(ceil(bitsize/c) / precompute_factor)."""
+    num_bms = (nbits - 1) // c + 1
+    return c * ((num_bms - 1) // precompute_factor + 1)
+
+
+def msm_precompute_bases(curve_name: str, points_x, points_y,
+                         cfg: MSMConfig | None = None):
+    """Reference msm_precompute_bases (msm.h:107; cpu_msm.hpp:455-481):
+    returns interleaved canonical affine arrays of length
+    precompute_factor*N where out[nu*i + j] = 2^(j*shift) * P_i.
+
+    The window size used for `shift` must match the later msm() call — pass
+    an explicit cfg.c for cross-implementation compatibility (the reference
+    otherwise derives it from its machine-tuned decision trees).
+    """
+    cfg = cfg or MSMConfig()
+    nu = cfg.precompute_factor
+    curve = get_curve(curve_name)
+    group = get_group(curve_name, g2=cfg.g2)
+    fq = group.coord_field
+    n = points_x.shape[0]
+    nbits = cfg.bitsize or curve.fr.modulus.bit_length()
+    c = cfg.c or _auto_c(n)
+    shift = precompute_shift(nbits, c, nu)
+
+    if nu == 1:
+        return np.asarray(points_x), np.asarray(points_y)
+
+    pts = group.from_affine_canonical(jnp.asarray(points_x),
+                                      jnp.asarray(points_y))
+
+    @jax.jit
+    def dbl_shift(p):
+        return jax.lax.fori_loop(0, shift, lambda _, q: group.dbl(q), p)
+
+    outs_x = [np.asarray(points_x)]
+    outs_y = [np.asarray(points_y)]
+    cur = pts
+    for _ in range(1, nu):
+        cur = dbl_shift(cur)
+        cx, cy = group.to_affine_canonical(cur)
+        outs_x.append(np.asarray(cx))
+        outs_y.append(np.asarray(cy))
+    # interleave: out[nu*i + j] = copy j of point i
+    ox = np.stack(outs_x, axis=1).reshape(nu * n, -1)
+    oy = np.stack(outs_y, axis=1).reshape(nu * n, -1)
+    return ox, oy
+
+
+def _precompute_digit_remap(digits, nu: int, n: int):
+    """(W, N) digits -> (G, nu*N) merged-window digits with G = ceil(W/nu):
+    window w = j*G + m of point i becomes merged window m of copy nu*i+j."""
+    W = digits.shape[0]
+    G = -(-W // nu)
+    pad = nu * G - W
+    if pad:
+        digits = jnp.concatenate(
+            [digits, jnp.zeros((pad, digits.shape[1]), digits.dtype)], axis=0)
+    return jnp.transpose(digits.reshape(nu, G, n), (1, 2, 0)).reshape(
+        G, nu * n), G
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_msm_pre(curve_name: str, c: int, nbits: int, nu: int, n: int,
+                    g2: bool = False):
+    group = get_group(curve_name, g2=g2)
+
+    @jax.jit
+    def run(scalar_limbs, px, py):
+        digits = _signed_digits(scalar_limbs, c, nbits)        # (W, N)
+        dp, G = _precompute_digit_remap(digits, nu, n)
+
+        def per_window(dw):
+            return _window_sum(group, dw, px, py, c)
+
+        window_sums = jax.lax.map(per_window, dp)
+        return _horner_windows(group, window_sums, c)
+
+    return run
+
+
 def msm(curve_name: str, scalars, points_x, points_y,
         cfg: MSMConfig | None = None) -> Projective:
     """MSM over canonical-form inputs. Returns a Montgomery-form projective
     point (use Group.to_affine_canonical to read out).
 
     scalars: (N, Ls) u32 limbs (or (batch, N, Ls)); points: (N, L) u32 each
-    (G2: L = coordinate-field width, e.g. 2x base limbs flat).
+    (G2: L = coordinate-field width, e.g. 2x base limbs flat). With
+    cfg.precompute_factor = nu > 1, points must be the interleaved
+    (nu*N, L) output of msm_precompute_bases with the SAME cfg.c.
     """
     cfg = cfg or MSMConfig()
     curve = get_curve(curve_name)
@@ -248,5 +334,19 @@ def msm(curve_name: str, scalars, points_x, points_y,
 
     n = scalars.shape[0]
     c = cfg.c or _auto_c(n)
-    nbits = curve.fr.modulus.bit_length()
+    nbits = cfg.bitsize or curve.fr.modulus.bit_length()
+    nu = cfg.precompute_factor
+    if nu > 1:
+        assert points_x.shape[0] == nu * n, \
+            "precompute_factor msm needs msm_precompute_bases output"
+        # the digit remap assigns window w to copy w // G with G = ceil(W/nu)
+        # where W includes the signed-digit carry window; the precomputed
+        # stride uses G0 = ceil(ceil(nbits/c)/nu). They agree iff G == G0.
+        W = (nbits + c) // c + 1
+        G0 = precompute_shift(nbits, c, nu) // c
+        assert -(-W // nu) == G0, (
+            f"c={c}, precompute_factor={nu}: carry window spills into an "
+            f"extra copy; pick c with ceil(W/nu) == ceil(ceil(bits/c)/nu)")
+        return _jitted_msm_pre(curve_name, c, nbits, nu, n, cfg.g2)(
+            scalars, px, py)
     return _jitted_msm(curve_name, c, nbits, cfg.g2)(scalars, px, py)

@@ -302,6 +302,35 @@ def _ntt_xla(f: Field, x, dir: NTTDir, cfg: NTTConfig, fs_tw=None):
 dispatcher.register_impl("ntt", "xla", _ntt_xla)
 
 
+def _ntt_pallas(f: Field, x, dir: NTTDir, cfg: NTTConfig, fs_tw=None):
+    """Pallas backend: fused VMEM stage-group four-step kernel
+    (icicle_tpu/pallas/ntt_kernel.py) for large single-vector transforms
+    over single-limb fields; everything else falls back to the XLA path
+    (reference analog: per-device backend registration, ntt_backend.h)."""
+    axis = _vec_axis(f, x)
+    n = x.shape[axis]
+    logn = n.bit_length() - 1
+    batch_dims = x.shape[:axis]
+    bsz = int(np.prod(batch_dims)) if batch_dims else 1
+    eligible = (f.limb_shape == () and bsz == 1
+                and logn >= _FOUR_STEP_MIN_LOGN
+                and cfg.ordering is Ordering.NN)
+    if not eligible:
+        return _ntt_xla(f, x, dir, cfg, fs_tw=fs_tw)
+    from icicle_tpu.pallas.ntt_kernel import ntt_four_step_pallas
+    y = x.reshape(n)
+    if dir == NTTDir.FORWARD and cfg.coset_gen is not None:
+        y = f.mul_mont(y, _powers_mont(f, cfg.coset_gen, n))
+    y = ntt_four_step_pallas(f, y, dir, fs_tw=fs_tw)
+    if dir == NTTDir.INVERSE and cfg.coset_gen is not None:
+        inv_gen = pow(cfg.coset_gen, -1, f.modulus)
+        y = f.mul_mont(y, _powers_mont(f, inv_gen, n))
+    return y.reshape(x.shape)
+
+
+dispatcher.register_impl("ntt", "pallas", _ntt_pallas)
+
+
 def ntt(f: Field, x, dir: NTTDir = NTTDir.FORWARD, cfg: NTTConfig = _DEFAULT):
     """Forward/inverse NTT along the vector axis (reference ntt(), ntt.h)."""
     return dispatcher.dispatch("ntt", cfg.backend)(f, x, dir, cfg)
@@ -314,7 +343,8 @@ def _jitted_ntt(field_name: str, direction: str, ordering: str, coset_gen, backe
 
     @jax.jit
     def run(x, fs_tw):
-        return _ntt_xla(f, x, NTTDir(direction), cfg, fs_tw=fs_tw)
+        return dispatcher.dispatch("ntt", backend)(
+            f, x, NTTDir(direction), cfg, fs_tw=fs_tw)
 
     @jax.jit
     def run_plain(x):
@@ -330,8 +360,8 @@ def _uses_four_step(f: Field, x, cfg: NTTConfig) -> int | None:
     batch = x.shape[:axis]
     bsz = int(np.prod(batch)) if batch else 1
     input_rev = cfg.ordering in (Ordering.RN, Ordering.RR)
-    if cfg.backend in (None, "xla") and not input_rev and bsz == 1 \
-            and logn >= _FOUR_STEP_MIN_LOGN:
+    if cfg.backend in (None, "xla", "auto", "pallas") and not input_rev \
+            and bsz == 1 and logn >= _FOUR_STEP_MIN_LOGN:
         return logn
     return None
 

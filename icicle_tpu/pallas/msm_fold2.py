@@ -72,20 +72,26 @@ def make_suffix_fold(curve_name: str, K: int, C: int):
       -> (Dx, Dy, Dz) each (L, C) u32: the per-tile weighted window sums.
     Cross-tile reduction happens in XLA (a log-C roll-scan costs one add
     instance in the graph; unrolling it here blew up Mosaic compile time).
+
+    Lanes are processed in groups of <= 1024 (exactly one (8, 128) vreg per
+    per-limb temp): the straight-line comba keeps ~60 temps live, so wider
+    lane vectors spill the register file and thrash VMEM.
     """
     curve = get_curve(curve_name)
     eng = curve.fq.engine
     f = _ListField(eng)
     b3_np, one_np, nl = _kernel_consts(curve_name)
+    G = next((g for g in (1024, 512, 256, 128) if C % g == 0), C)
+    n_groups = C // G
 
     def kernel(consts_ref, x_ref, y_ref, f_ref, dxo, dyo, dzo,
                Ex, Ey, Ez, Dx, Dy, Dz):
-        k = pl.program_id(0)
+        k = pl.program_id(1)
         x2 = [x_ref[0, i, :] for i in range(nl)]
         y2 = [y_ref[0, i, :] for i in range(nl)]
-        b3 = [jnp.broadcast_to(consts_ref[0, i], (C,)) for i in range(nl)]
-        one = [jnp.broadcast_to(consts_ref[1, i], (C,)) for i in range(nl)]
-        zero = [jnp.zeros((C,), jnp.uint32) for _ in range(nl)]
+        b3 = [jnp.broadcast_to(consts_ref[0, i], (G,)) for i in range(nl)]
+        one = [jnp.broadcast_to(consts_ref[1, i], (G,)) for i in range(nl)]
+        zero = [jnp.zeros((G,), jnp.uint32) for _ in range(nl)]
         is_real = f_ref[0, 0, :] != 0
         is_dacc = f_ref[0, 1, :] != 0
 
@@ -124,35 +130,37 @@ def make_suffix_fold(curve_name: str, K: int, C: int):
         @pl.when(k == K - 1)
         def _():
             for i in range(nl):
-                dxo[i, :] = Dx[i, :]
-                dyo[i, :] = Dy[i, :]
-                dzo[i, :] = Dz[i, :]
+                dxo[0, i, :] = Dx[i, :]
+                dyo[0, i, :] = Dy[i, :]
+                dzo[0, i, :] = Dz[i, :]
 
-    coord_spec = pl.BlockSpec((1, nl, C), lambda k: (k, 0, 0),
+    coord_spec = pl.BlockSpec((1, nl, G), lambda g, k: (k, 0, g),
                               memory_space=pltpu.VMEM)
-    flag_spec = pl.BlockSpec((1, 2, C), lambda k: (k, 0, 0),
+    flag_spec = pl.BlockSpec((1, 2, G), lambda g, k: (k, 0, g),
                              memory_space=pltpu.VMEM)
-    const_spec = pl.BlockSpec((2, nl), lambda k: (0, 0),
+    const_spec = pl.BlockSpec((2, nl), lambda g, k: (0, 0),
                               memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((nl, C), lambda k: (0, 0),
+    out_spec = pl.BlockSpec((1, nl, G), lambda g, k: (g, 0, 0),
                             memory_space=pltpu.VMEM)
-    out_sds = jax.ShapeDtypeStruct((nl, C), jnp.uint32)
+    out_sds = jax.ShapeDtypeStruct((n_groups, nl, G), jnp.uint32)
 
     call = pl.pallas_call(
         kernel,
-        grid=(K,),
+        grid=(n_groups, K),
         in_specs=[const_spec, coord_spec, coord_spec, flag_spec],
         out_specs=(out_spec, out_spec, out_spec),
         out_shape=(out_sds, out_sds, out_sds),
-        scratch_shapes=[pltpu.VMEM((nl, C), jnp.uint32) for _ in range(6)],
+        scratch_shapes=[pltpu.VMEM((nl, G), jnp.uint32) for _ in range(6)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
     )
     consts = jnp.asarray(np.stack([b3_np, one_np]))
 
     def invoke(xs, ys, flags):
-        return call(consts, xs, ys, flags)
+        dx, dy, dz = call(consts, xs, ys, flags)
+        back = lambda a: jnp.transpose(a, (1, 0, 2)).reshape(nl, C)
+        return back(dx), back(dy), back(dz)
 
     return invoke
 

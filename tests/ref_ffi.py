@@ -347,3 +347,29 @@ def babybear_fri_proof_reserialize(blob_in: bytes) -> bytes:
     rc = ser(handle, buf, size.value)
     assert rc == 0, f"serialize rc={rc}"
     return np.frombuffer(buf.raw, dtype=np.uint8)
+
+
+@_isolated
+def bn254_msm_precompute_bases(points_u32: np.ndarray, c: int,
+                               precompute_factor: int) -> np.ndarray:
+    """Golden bn254 msm_precompute_bases (src/msm.cpp:45-56). points (n, 16)
+    u32 affine canonical -> (n*factor, 16) interleaved precomputed bases."""
+    build = os.environ.get("ICICLE_REF_BUILD_BN254", "/tmp/icicle_build_bn254")
+    dev = C.CDLL(os.path.join(build, "libicicle_device.so"), mode=C.RTLD_GLOBAL)
+    cur = C.CDLL(os.path.join(build, "libicicle_curve_bn254.so"), mode=C.RTLD_GLOBAL)
+    fn = cur.bn254_msm_precompute_bases
+    fn.restype = C.c_int
+    fn.argtypes = [C.c_void_p, C.c_int, C.c_void_p, C.c_void_p]
+    n = points_u32.shape[0]
+    pts = np.ascontiguousarray(points_u32, dtype=np.uint32)
+    cfg = MSMConfigC(stream=None, precompute_factor=precompute_factor, c=c,
+                     bitsize=0, batch_size=1, are_points_shared_in_batch=True,
+                     are_scalars_on_device=False,
+                     are_scalars_montgomery_form=False,
+                     are_points_on_device=False,
+                     are_points_montgomery_form=False,
+                     are_results_on_device=False, is_async=False, ext=None)
+    out = np.zeros((n * precompute_factor, 16), dtype=np.uint32)
+    rc = fn(pts.ctypes.data, n, C.byref(cfg), out.ctypes.data)
+    assert rc == 0, f"precompute rc={rc}"
+    return out

@@ -2,6 +2,7 @@
 random scalars, small/large windows, batch, skewed distributions)."""
 
 import numpy as np
+import jax.numpy as jnp
 import pytest
 
 from icicle_tpu.curves.params import get_curve
@@ -90,3 +91,56 @@ def test_msm_batch():
         yi = int(fq.to_ints(y[i]))
         want = msm_ref(batches[i], pts, fq.modulus)
         assert (xi, yi) == want
+
+
+def test_msm_precompute_factor_vs_plain():
+    """precompute_factor MSM == plain MSM (msm.h:23-34,107 semantics)."""
+    import dataclasses
+    from icicle_tpu.ops.msm import msm_precompute_bases, MSMConfig
+    curve = get_curve("bn254")
+    fr, fq, mod = curve.fr, curve.fq, curve.fq.modulus
+    group = get_group("bn254")
+    rng = np.random.default_rng(21)
+    n = 32
+    gen = (curve.gen_x, curve.gen_y)
+    pts = [ec_mul(gen, int(k), mod) for k in rng.integers(1, 1 << 28, size=n)]
+    scalars = [int.from_bytes(rng.bytes(40), "little") % fr.modulus
+               for _ in range(n)]
+    px = fq.from_ints([p[0] for p in pts])
+    py = fq.from_ints([p[1] for p in pts])
+    plain = group.to_affine_canonical(
+        msm("bn254", fr.from_ints(scalars), px, py, MSMConfig(c=8)))
+    for nu in (2, 4):
+        cfg = MSMConfig(c=8, precompute_factor=nu)
+        ox, oy = msm_precompute_bases("bn254", np.asarray(px), np.asarray(py),
+                                      cfg)
+        got = group.to_affine_canonical(
+            msm("bn254", fr.from_ints(scalars), jnp.asarray(ox),
+                jnp.asarray(oy), cfg))
+        assert [np.asarray(a).tolist() for a in got] == \
+               [np.asarray(a).tolist() for a in plain], f"nu={nu}"
+
+
+def test_msm_precompute_bases_reference_parity():
+    """Precomputed bases byte-equal the reference msm_precompute_bases FFI."""
+    import os
+    from tests import ref_ffi
+    build = os.environ.get("ICICLE_REF_BUILD_BN254", "/tmp/icicle_build_bn254")
+    if not os.path.exists(os.path.join(build, "libicicle_curve_bn254.so")):
+        pytest.skip("bn254 reference build not present")
+    from icicle_tpu.ops.msm import msm_precompute_bases, MSMConfig
+    curve = get_curve("bn254")
+    fq, mod = curve.fq, curve.fq.modulus
+    rng = np.random.default_rng(5)
+    n = 8
+    gen = (curve.gen_x, curve.gen_y)
+    pts = [ec_mul(gen, int(k), mod) for k in rng.integers(1, 1 << 28, size=n)]
+    px = np.asarray(fq.from_ints([p[0] for p in pts]))
+    py = np.asarray(fq.from_ints([p[1] for p in pts]))
+    c, nu = 8, 4
+    ox, oy = msm_precompute_bases("bn254", px, py,
+                                  MSMConfig(c=c, precompute_factor=nu))
+    ref = ref_ffi.bn254_msm_precompute_bases(
+        np.concatenate([px, py], axis=1), c, nu)
+    ours = np.concatenate([ox, oy], axis=1).astype(np.uint32)
+    assert np.array_equal(ours, ref)
