@@ -42,6 +42,7 @@ class MSMConfig:
     """Mirror of the reference MSMConfig (msm.h:19-97); TPU-relevant fields."""
     c: int = 0                     # window bits; 0 = auto
     bitsize: int = 0               # scalar bits; 0 = field default
+    backend: str | None = None     # None/auto | "xla" | "pallas"
     precompute_factor: int = 1
     batch_size: int = 1
     are_scalars_montgomery_form: bool = False
@@ -350,3 +351,48 @@ def msm(curve_name: str, scalars, points_x, points_y,
         return _jitted_msm_pre(curve_name, c, nbits, nu, n, cfg.g2)(
             scalars, px, py)
     return _jitted_msm(curve_name, c, nbits, cfg.g2)(scalars, px, py)
+
+
+# ---------------------------------------------------------------------------
+# Dispatcher registration (reference: REGISTER_MSM_BACKEND, msm_backend.h)
+# ---------------------------------------------------------------------------
+# The registered signature is the affine-result form every consumer wants:
+# (curve, scalars, px, py, cfg) -> canonical affine (x, y) python ints.
+
+from icicle_tpu.runtime import dispatcher as _dispatcher
+
+
+def _msm_affine_xla(curve_name, scalars, points_x, points_y, cfg):
+    res = msm(curve_name, scalars, points_x, points_y, cfg)
+    group = get_group(curve_name, g2=cfg.g2)
+    x, y = group.to_affine_canonical(res)
+    fq = group.coord_field
+    return (int(np.atleast_1d(fq.to_ints(x))[0]),
+            int(np.atleast_1d(fq.to_ints(y))[0]))
+
+
+def _msm_affine_pallas(curve_name, scalars, points_x, points_y, cfg):
+    # the suffix-fold pipeline serves the big single-MSM G1 case; everything
+    # else (G2, batch, precompute, montgomery-form inputs) takes the generic
+    # path
+    if (cfg.g2 or cfg.precompute_factor > 1 or scalars.ndim == 3
+            or cfg.are_scalars_montgomery_form
+            or cfg.are_points_montgomery_form):
+        return _msm_affine_xla(curve_name, scalars, points_x, points_y, cfg)
+    from icicle_tpu.ops.msm_tpu2 import msm_tpu2
+    return msm_tpu2(curve_name, scalars, points_x, points_y,
+                    c=cfg.c or None)
+
+
+_dispatcher.register_impl("msm", "xla", _msm_affine_xla)
+_dispatcher.register_impl("msm", "pallas", _msm_affine_pallas)
+
+
+def msm_affine(curve_name: str, scalars, points_x, points_y,
+               cfg: MSMConfig | None = None):
+    """Dispatched MSM returning the canonical affine result as python ints
+    ((0, 0) = identity). Backend = cfg.backend | process default ("auto" =
+    pallas on TPU)."""
+    cfg = cfg or MSMConfig()
+    return _dispatcher.dispatch("msm", cfg.backend)(
+        curve_name, scalars, points_x, points_y, cfg)

@@ -144,3 +144,26 @@ def test_msm_precompute_bases_reference_parity():
         np.concatenate([px, py], axis=1), c, nu)
     ours = np.concatenate([ox, oy], axis=1).astype(np.uint32)
     assert np.array_equal(ours, ref)
+
+
+def test_msm_affine_dispatch():
+    """msm routes through the dispatcher registry (R5/R6 parity): the xla
+    impl and explicit-backend selection return identical affine results."""
+    from icicle_tpu.ops.msm import msm_affine
+    from icicle_tpu.runtime import dispatcher
+    assert "pallas" in dispatcher.registered_apis()["msm"]
+    assert "xla" in dispatcher.registered_apis()["msm"]
+    curve = get_curve("bn254")
+    fr, fq, mod = curve.fr, curve.fq, curve.fq.modulus
+    rng = np.random.default_rng(31)
+    n = 16
+    gen = (curve.gen_x, curve.gen_y)
+    pts = [ec_mul(gen, int(k), mod) for k in rng.integers(1, 1 << 20, size=n)]
+    scalars = [int(s) for s in rng.integers(0, 1 << 30, size=n)]
+    px = fq.from_ints([p[0] for p in pts])
+    py = fq.from_ints([p[1] for p in pts])
+    want = msm_ref(scalars, pts, mod)
+    want = want if want is not INF else (0, 0)
+    got = msm_affine("bn254", fr.from_ints(scalars), px, py,
+                     MSMConfig(c=6, backend="xla"))
+    assert got == want

@@ -34,7 +34,12 @@ def bench_ntt(mesh, logn: int, iters: int = 3) -> float:
     from icicle_tpu.runtime.config import NTTDir
 
     f = get_field("babybear")
+    # materialize all twiddle domains OUTSIDE any mesh context: tables built
+    # while tracing a shard_map capture that mesh's aval and poison reuse
+    # under a different mesh size
     N.ntt_init_domain(f, logn)
+    for sub in range(1, logn):
+        N.get_domain(f, sub)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.integers(0, f.modulus, size=(1 << logn,),
                                  dtype=np.uint32))
