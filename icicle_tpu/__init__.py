@@ -8,8 +8,11 @@ designed for TPU meshes.
 Public surface (mirrors the reference's per-op APIs; see SURVEY.md §2):
 
     fields:      get_field, field_names, get_ext_field
-    curves:      get_curve, curve_names, get_group, pairing
-    ops:         ntt, msm, msm_tpu, ecntt, vec_ops, mat_ops, lattice, pow
+    curves:      get_curve, curve_names, get_group, pairing (optimal ate),
+                 curves.ate.ate_pairing
+    ops:         ntt (+ntt_ext/ntt_rns), msm/msm_affine/msm_precompute_bases,
+                 msm_tpu2 (suffix-fold pipeline), ecntt/ecntt_jit, vec_ops,
+                 mat_ops, lattice, pow
     hashes:      Poseidon, Poseidon2, Keccak256/512, Sha3_256/512, Blake2s,
                  Blake3 (ops.hash), MerkleTree / MerkleProof (ops.merkle)
     protocols:   sumcheck_prove/verify, fri_prove/verify, Program/Symbol

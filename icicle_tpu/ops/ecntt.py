@@ -116,3 +116,23 @@ def ecntt(curve_name: str, points: Projective, dir: NTTDir = NTTDir.FORWARD,
             bits[nbits - 1 - b, :] = (n_inv >> b) & 1
         pts = scalar_mul_vec(group, pts, jnp.asarray(bits))
     return pts
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_ecntt(curve_name: str, logn: int, direction: str):
+    @jax.jit
+    def run(px, py, pz):
+        return ecntt(curve_name, Projective(px, py, pz), NTTDir(direction),
+                     logn=logn)
+    return run
+
+
+def ecntt_jit(curve_name: str, points: Projective,
+              dir: NTTDir = NTTDir.FORWARD) -> Projective:
+    """jit-cached ECNTT (one compile per curve/size/direction): the 2^10-2^16
+    sizes are dominated by the per-stage twiddle scalar-muls, so retracing
+    the stage graphs per call would double the cost."""
+    n = points.x.shape[0]
+    logn = n.bit_length() - 1
+    return _jitted_ecntt(curve_name, logn, dir.value)(
+        points.x, points.y, points.z)
