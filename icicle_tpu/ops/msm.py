@@ -272,17 +272,25 @@ def msm_precompute_bases(curve_name: str, points_x, points_y,
     return ox, oy
 
 
-def _precompute_digit_remap(digits, nu: int, n: int):
-    """(W, N) digits -> (G, nu*N) merged-window digits with G = ceil(W/nu):
-    window w = j*G + m of point i becomes merged window m of copy nu*i+j."""
+def _precompute_digit_remap(digits, nu: int, n: int, G0: int):
+    """(W, N) digits -> (G, nu*N) merged-window digits for precomputed bases
+    with stride G0 = shift/c (cpu_msm.hpp:469): window w = j*G0 + m of point
+    i becomes merged window m of copy nu*i+j. Windows beyond nu*G0 (the
+    signed-digit carry window) ride the LAST copy at m >= G0, so
+    G = W - (nu-1)*G0."""
     W = digits.shape[0]
-    G = -(-W // nu)
-    pad = nu * G - W
-    if pad:
-        digits = jnp.concatenate(
-            [digits, jnp.zeros((pad, digits.shape[1]), digits.dtype)], axis=0)
-    return jnp.transpose(digits.reshape(nu, G, n), (1, 2, 0)).reshape(
-        G, nu * n), G
+    G = max(G0, W - (nu - 1) * G0)
+    blocks = []
+    for j in range(nu):
+        lo = j * G0
+        hi = min(lo + G0, W) if j < nu - 1 else W
+        blk = digits[lo:hi]
+        if blk.shape[0] < G:
+            blk = jnp.concatenate(
+                [blk, jnp.zeros((G - blk.shape[0], n), digits.dtype)], axis=0)
+        blocks.append(blk)
+    dp = jnp.stack(blocks, axis=0)                 # (nu, G, N)
+    return jnp.transpose(dp, (1, 2, 0)).reshape(G, nu * n), G
 
 
 @functools.lru_cache(maxsize=None)
@@ -290,10 +298,12 @@ def _jitted_msm_pre(curve_name: str, c: int, nbits: int, nu: int, n: int,
                     g2: bool = False):
     group = get_group(curve_name, g2=g2)
 
+    G0 = precompute_shift(nbits, c, nu) // c
+
     @jax.jit
     def run(scalar_limbs, px, py):
         digits = _signed_digits(scalar_limbs, c, nbits)        # (W, N)
-        dp, G = _precompute_digit_remap(digits, nu, n)
+        dp, G = _precompute_digit_remap(digits, nu, n, G0)
 
         def per_window(dw):
             return _window_sum(group, dw, px, py, c)
@@ -340,14 +350,6 @@ def msm(curve_name: str, scalars, points_x, points_y,
     if nu > 1:
         assert points_x.shape[0] == nu * n, \
             "precompute_factor msm needs msm_precompute_bases output"
-        # the digit remap assigns window w to copy w // G with G = ceil(W/nu)
-        # where W includes the signed-digit carry window; the precomputed
-        # stride uses G0 = ceil(ceil(nbits/c)/nu). They agree iff G == G0.
-        W = (nbits + c) // c + 1
-        G0 = precompute_shift(nbits, c, nu) // c
-        assert -(-W // nu) == G0, (
-            f"c={c}, precompute_factor={nu}: carry window spills into an "
-            f"extra copy; pick c with ceil(W/nu) == ceil(ceil(bits/c)/nu)")
         return _jitted_msm_pre(curve_name, c, nbits, nu, n, cfg.g2)(
             scalars, px, py)
     return _jitted_msm(curve_name, c, nbits, cfg.g2)(scalars, px, py)

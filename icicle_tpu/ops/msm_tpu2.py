@@ -194,33 +194,38 @@ def _jitted_pipeline2(curve_name: str, c: int, nbits: int, n_pad: int, T: int,
             (sid_t.reshape(tiles // B, B, wg, K),
              points_u8.reshape(tiles // B, B, T, nbytes)))
         # (tiles/B, B, wg*K, nbytes) == (C', K, nbytes) with C' = tiles*wg
-        # (tile-major); 3D transpose keeps every axis large (no tile padding)
-        perm = perm.reshape(C, K, nbytes)
-        perm = jnp.transpose(perm, (1, 2, 0))        # (K, nbytes, C)
+        # (tile-major lanes). Split lanes into the kernel's contiguous
+        # <=1024-wide groups and lead with the group axis so every per-step
+        # block DMA is one contiguous read.
+        from icicle_tpu.pallas.msm_fold2 import lane_group
+        G = lane_group(C)
+        ng = C // G
+        perm = perm.reshape(ng, G, K, nbytes)
+        perm = jnp.transpose(perm, (0, 2, 3, 1))     # (ng, K, nbytes, G)
 
         bu = perm.astype(jnp.uint32)
-        xl = [bu[:, 4 * i] | (bu[:, 4 * i + 1] << 8)
-              | (bu[:, 4 * i + 2] << 16) | (bu[:, 4 * i + 3] << 24)
-              for i in range(nl)]                    # each (K, C)
-        yl = [bu[:, 4 * (nl + i)] | (bu[:, 4 * (nl + i) + 1] << 8)
-              | (bu[:, 4 * (nl + i) + 2] << 16)
-              | (bu[:, 4 * (nl + i) + 3] << 24) for i in range(nl)]
+        xl = [bu[:, :, 4 * i] | (bu[:, :, 4 * i + 1] << 8)
+              | (bu[:, :, 4 * i + 2] << 16) | (bu[:, :, 4 * i + 3] << 24)
+              for i in range(nl)]                    # each (ng, K, G)
+        yl = [bu[:, :, 4 * (nl + i)] | (bu[:, :, 4 * (nl + i) + 1] << 8)
+              | (bu[:, :, 4 * (nl + i) + 2] << 16)
+              | (bu[:, :, 4 * (nl + i) + 3] << 24) for i in range(nl)]
 
         # negate y where the digit was negative: y -> p - y (real lanes only;
         # dummies have sneg == 0). borrow-free since 0 < y < p for reals.
-        sneg_c = jnp.transpose(sneg, (1, 0, 2)).reshape(C, K).T  # (K, C)
+        def lane_g(a):   # (wg, tiles, K) -> (ng, K, G)
+            a = jnp.transpose(a, (1, 0, 2)).reshape(ng, G, K)
+            return jnp.transpose(a, (0, 2, 1))
+        sneg_g = lane_g(sneg)
         bp = [jnp.broadcast_to(v, yl[0].shape) for v in p32]
         ynegl, _ = _sub_limbs(bp, yl)
-        use_neg = sneg_c == 1
+        use_neg = sneg_g == 1
         yl = [jnp.where(use_neg, a, b) for a, b in zip(ynegl, yl)]
 
-        xs = jnp.stack(xl, axis=1)                   # (K, L, C)
-        ys = jnp.stack(yl, axis=1)
-
-        def flag_c(a):   # (wg, tiles, K) -> (K, C)
-            return jnp.transpose(a, (1, 0, 2)).reshape(C, K).T
-        flags = jnp.stack([flag_c(is_real.astype(jnp.int32)),
-                           flag_c(is_dacc.astype(jnp.int32))], axis=1)
+        xs = jnp.stack(xl, axis=2)                   # (ng, K, L, G)
+        ys = jnp.stack(yl, axis=2)
+        flags = jnp.stack([lane_g(is_real.astype(jnp.int32)),
+                           lane_g(is_dacc.astype(jnp.int32))], axis=2)
 
         dx, dy, dz = fold(xs, ys, flags)             # (L, C)
         from icicle_tpu.curves.group import get_group

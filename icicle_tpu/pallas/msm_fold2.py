@@ -68,32 +68,35 @@ def _sel(cond, a, b):
 def make_suffix_fold(curve_name: str, K: int, C: int):
     """Build the suffix-fold kernel.
 
-    invoke(xs, ys (K, L, C) u32 Montgomery, flags (K, 2, C) i32)
-      -> (Dx, Dy, Dz) each (L, C) u32: the per-tile weighted window sums.
+    invoke(xs, ys (n_groups, K, L, G) u32 Montgomery,
+           flags (n_groups, K, 2, G) i32)
+      -> (Dx, Dy, Dz) each (L, C) u32: the per-tile weighted window sums
+         (lane = g*G + lane_in_group).
     Cross-tile reduction happens in XLA (a log-C roll-scan costs one add
     instance in the graph; unrolling it here blew up Mosaic compile time).
 
     Lanes are processed in groups of <= 1024 (exactly one (8, 128) vreg per
     per-limb temp): the straight-line comba keeps ~60 temps live, so wider
-    lane vectors spill the register file and thrash VMEM.
+    lane vectors spill the register file and thrash VMEM. The group axis
+    LEADS the layout so every per-step block DMA is contiguous.
     """
     curve = get_curve(curve_name)
     eng = curve.fq.engine
     f = _ListField(eng)
     b3_np, one_np, nl = _kernel_consts(curve_name)
-    G = next((g for g in (1024, 512, 256, 128) if C % g == 0), C)
+    G = lane_group(C)
     n_groups = C // G
 
     def kernel(consts_ref, x_ref, y_ref, f_ref, dxo, dyo, dzo,
                Ex, Ey, Ez, Dx, Dy, Dz):
         k = pl.program_id(1)
-        x2 = [x_ref[0, i, :] for i in range(nl)]
-        y2 = [y_ref[0, i, :] for i in range(nl)]
+        x2 = [x_ref[0, 0, i, :] for i in range(nl)]
+        y2 = [y_ref[0, 0, i, :] for i in range(nl)]
         b3 = [jnp.broadcast_to(consts_ref[0, i], (G,)) for i in range(nl)]
         one = [jnp.broadcast_to(consts_ref[1, i], (G,)) for i in range(nl)]
         zero = [jnp.zeros((G,), jnp.uint32) for _ in range(nl)]
-        is_real = f_ref[0, 0, :] != 0
-        is_dacc = f_ref[0, 1, :] != 0
+        is_real = f_ref[0, 0, 0, :] != 0
+        is_dacc = f_ref[0, 0, 1, :] != 0
 
         @pl.when(k == 0)
         def _():
@@ -134,9 +137,9 @@ def make_suffix_fold(curve_name: str, K: int, C: int):
                 dyo[0, i, :] = Dy[i, :]
                 dzo[0, i, :] = Dz[i, :]
 
-    coord_spec = pl.BlockSpec((1, nl, G), lambda g, k: (k, 0, g),
+    coord_spec = pl.BlockSpec((1, 1, nl, G), lambda g, k: (g, k, 0, 0),
                               memory_space=pltpu.VMEM)
-    flag_spec = pl.BlockSpec((1, 2, G), lambda g, k: (k, 0, g),
+    flag_spec = pl.BlockSpec((1, 1, 2, G), lambda g, k: (g, k, 0, 0),
                              memory_space=pltpu.VMEM)
     const_spec = pl.BlockSpec((2, nl), lambda g, k: (0, 0),
                               memory_space=pltpu.VMEM)
@@ -165,6 +168,10 @@ def make_suffix_fold(curve_name: str, K: int, C: int):
     return invoke
 
 
+def lane_group(C: int) -> int:
+    return next((g for g in (1024, 512, 256, 128) if C % g == 0), C)
+
+
 def make_suffix_fold_xla(curve_name: str, K: int, C: int):
     """lax.scan lowering of the same fold semantics (CPU tests / fallback).
 
@@ -177,7 +184,15 @@ def make_suffix_fold_xla(curve_name: str, K: int, C: int):
     nl = get_curve(curve_name).fq.nlimbs
 
     def invoke(xs, ys, flags):
-        # (K, L, C) -> scan over K with (C, L)-batched state
+        # (n_groups, K, L, G) group-major layout -> (K, L, C), then scan
+        # over K with (C, L)-batched state
+        G = xs.shape[-1]
+        K_ = xs.shape[1]
+        to_klc = lambda a, w: jnp.transpose(a, (1, 2, 0, 3)).reshape(
+            K_, w, C)
+        xs = to_klc(xs, xs.shape[2])
+        ys = to_klc(ys, ys.shape[2])
+        flags = to_klc(flags, 2)
         ident = group.identity((C,))
 
         def body(carry, row):
