@@ -46,7 +46,9 @@ _KEY_SHIFT = _IDX_BITS + 1
 
 
 def _plan2(n: int, c: int | None, nbits: int, T: int | None):
-    T = T or min(4096, n)
+    # T=2048 balances the one-hot permute (MACs ~ n*T) against dummy-slot
+    # overhead (M/T) and per-tile compression
+    T = T or min(2048, n)
     T = min(T, n)
     if c is None:
         # minimize W(c) * (T + M(c)): fold slots across all windows
@@ -100,16 +102,21 @@ def _signed_digits_t(scalars_t, c: int, nbits: int):
     return jnp.stack(digits, axis=0)
 
 
-def _reduce_tiles(group, dx, dy, dz, wg: int, tiles: int):
-    """Per-window sum over tiles: (L, C=tiles*wg, tile-major lanes) ->
-    (wg, 3, L). Roll-scan tree along the tile axis (one add instance in the
-    graph), batched over the window axis."""
+def _reduce_tiles_all(group, folds, n_groups: int, wg: int, tiles: int,
+                      nl: int):
+    """Cross-tile sum for EVERY window at once: folds (n_groups, 3, L,
+    C=tiles*wg, tile-major lanes) -> (n_groups*wg, 3, L). One roll-scan tree
+    (log2(tiles) iterations of a single add instance) batched over all
+    windows."""
     from icicle_tpu.curves.group import Projective
 
-    nl = dx.shape[0]
-    # (L, tiles*wg) -> (tiles, wg, L)
-    arr = lambda a: jnp.transpose(a.reshape(nl, tiles, wg), (1, 2, 0))
-    pts = Projective(arr(dx), arr(dy), arr(dz))
+    # (ng, 3, L, tiles, wg) -> (tiles, ng*wg, L)
+    def arr(i):
+        a = folds[:, i].reshape(n_groups, nl, tiles, wg)
+        return jnp.transpose(a, (2, 0, 3, 1)).reshape(tiles, n_groups * wg,
+                                                      nl)
+
+    pts = Projective(arr(0), arr(1), arr(2))
     steps = max(1, (tiles - 1).bit_length())
     shifts = jnp.asarray([1 << k for k in range(steps)], dtype=jnp.int32)
     idx = jnp.arange(tiles, dtype=jnp.int32)
@@ -123,8 +130,8 @@ def _reduce_tiles(group, dx, dy, dz, wg: int, tiles: int):
         return newp, None
 
     out, _ = jax.lax.scan(body, pts, shifts)
-    last = jax.tree_util.tree_map(lambda a: a[-1], out)     # (wg, L)
-    return jnp.stack([last.x, last.y, last.z], axis=1)      # (wg, 3, L)
+    last = jax.tree_util.tree_map(lambda a: a[-1], out)     # (W_pad, L)
+    return jnp.stack([last.x, last.y, last.z], axis=1)      # (W_pad, 3, L)
 
 
 @functools.lru_cache(maxsize=None)
@@ -228,14 +235,7 @@ def _jitted_pipeline2(curve_name: str, c: int, nbits: int, n_pad: int, T: int,
                            lane_g(is_dacc.astype(jnp.int32))], axis=2)
 
         dx, dy, dz = fold(xs, ys, flags)             # (L, C)
-        from icicle_tpu.curves.group import get_group
-        from icicle_tpu.math.bigint import mul_mode
-        import contextlib
-        group = get_group(curve_name)
-        mm = (mul_mode("unrolled") if backend == "pallas"
-              else contextlib.nullcontext())
-        with mm:
-            return _reduce_tiles(group, dx, dy, dz, wg, tiles)  # (wg, 3, L)
+        return jnp.stack([dx, dy, dz])               # (3, L, C)
 
     n_groups = -(-n_windows // wg)
     w_pad = n_groups * wg
@@ -252,8 +252,17 @@ def _jitted_pipeline2(curve_name: str, c: int, nbits: int, n_pad: int, T: int,
         def body(_, dg):
             return None, group_fn(points_u8, dg)
 
-        _, wsums = jax.lax.scan(body, None, digits)
-        return wsums.reshape(w_pad, 3, nl)[:n_windows]      # (W, 3, L)
+        _, folds = jax.lax.scan(body, None, digits)         # (ng, 3, L, C)
+        # ONE batched cross-tile reduce for every window (lane = t*wg + w)
+        from icicle_tpu.curves.group import get_group
+        from icicle_tpu.math.bigint import mul_mode
+        import contextlib
+        group = get_group(curve_name)
+        mm = (mul_mode("unrolled") if backend == "pallas"
+              else contextlib.nullcontext())
+        with mm:
+            wsums = _reduce_tiles_all(group, folds, n_groups, wg, tiles, nl)
+        return wsums[:n_windows]                            # (W, 3, L)
 
     return run
 
