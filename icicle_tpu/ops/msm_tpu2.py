@@ -37,7 +37,6 @@ import jax.numpy as jnp
 
 from icicle_tpu.curves.params import get_curve
 from icicle_tpu.curves.host_ec import ec_add, ec_dbl, INF
-from icicle_tpu.math.bigint import _sub_limbs
 from icicle_tpu.pallas.msm_fold2 import make_suffix_fold, make_suffix_fold_xla
 
 _IDX_BITS = 13
@@ -66,12 +65,12 @@ def _plan2(n: int, c: int | None, nbits: int, T: int | None):
     tiles = -(-n // T)
     tiles = 1 << max(0, (tiles - 1).bit_length())
     # windows per fold pass: target <= 16384 lanes, bounded by ~4 GB of
-    # in-flight permuted data (~256B per slot incl. bf16 padding), balanced
+    # in-flight permuted data (~256B per slot incl. bf16 padding); kept a
+    # power of two so lane groups stay 128-lane aligned
     byte_budget = 4 << 30
     per_window = tiles * (T + M) * 256
-    wg = max(1, min(n_windows, 16384 // tiles, byte_budget // per_window))
-    n_groups = -(-n_windows // wg)
-    wg = -(-n_windows // n_groups)
+    bound = max(1, min(n_windows, 16384 // tiles, byte_budget // per_window))
+    wg = 1 << (bound.bit_length() - 1)
     return c, M, T, tiles, n_windows, wg
 
 
@@ -145,10 +144,13 @@ def _jitted_pipeline2(curve_name: str, c: int, nbits: int, n_pad: int, T: int,
     n_windows = (nbits + c) // c + 1
     kmax = M
     C = wg * tiles
-    p32 = [np.uint32(v) for v in fq.engine.p32]
+    # lane group = wg windows x B_g tiles (so the permute scan's chunk axis
+    # IS the kernel's group axis); <= 1024 lanes per group
+    B_g = min(tiles, max(1, 1024 // wg))
+    G = wg * B_g
 
     if backend == "pallas":
-        fold = make_suffix_fold(curve_name, K, C)
+        fold = make_suffix_fold(curve_name, K, C, G)
     else:
         fold = make_suffix_fold_xla(curve_name, K, C)
 
@@ -182,59 +184,38 @@ def _jitted_pipeline2(curve_name: str, c: int, nbits: int, n_pad: int, T: int,
         # ONE nonzero (dummy rows: none -> zero bytes; handled by is_real).
         nbytes = points_u8.shape[-1]
 
+        # chunk == lane group: each scan step covers B_g tiles x wg windows
+        # and emits its (K, nbytes, G) slice of the kernel input directly —
+        # no whole-array transpose, no XLA unpack (the kernel assembles
+        # limbs and applies y-negation in VMEM)
         def chunk(_, args):
-            si, pb = args               # (B, wg, K), (B, T, nbytes)
+            si, pb = args               # (B_g, wg, K), (B_g, T, nbytes)
             oh = (si.reshape(-1, wg * K)[:, :, None] ==
                   jax.lax.broadcasted_iota(jnp.int32, (1, 1, T), 2)
-                  ).astype(jnp.bfloat16)    # (B, wg*K, T)
+                  ).astype(jnp.bfloat16)    # (B_g, wg*K, T)
             out = jax.lax.dot_general(
                 oh, pb.astype(jnp.bfloat16), (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.bfloat16)  # (B, wg*K, nbytes)
-            return None, out
+                preferred_element_type=jnp.bfloat16)  # (B_g, wg*K, nbytes)
+            out = out.reshape(B_g, wg, K, nbytes)
+            # in-group lane = tile_in_block*wg + w
+            return None, jnp.transpose(out, (2, 3, 0, 1)).reshape(
+                K, nbytes, G)
 
-        B = max(1, min(tiles, (1 << 27) // (wg * K * T)))
-        while tiles % B:
-            B -= 1
+        ng = C // G
         sid_t = jnp.transpose(sidx, (1, 0, 2))       # (tiles, wg, K)
         _, perm = jax.lax.scan(
             chunk, None,
-            (sid_t.reshape(tiles // B, B, wg, K),
-             points_u8.reshape(tiles // B, B, T, nbytes)))
-        # (tiles/B, B, wg*K, nbytes) == (C', K, nbytes) with C' = tiles*wg
-        # (tile-major lanes). Split lanes into the kernel's contiguous
-        # <=1024-wide groups and lead with the group axis so every per-step
-        # block DMA is one contiguous read.
-        from icicle_tpu.pallas.msm_fold2 import lane_group
-        G = lane_group(C)
-        ng = C // G
-        perm = perm.reshape(ng, G, K, nbytes)
-        perm = jnp.transpose(perm, (0, 2, 3, 1))     # (ng, K, nbytes, G)
+            (sid_t.reshape(ng, B_g, wg, K),
+             points_u8.reshape(ng, B_g, T, nbytes)))  # (ng, K, nbytes, G)
 
-        bu = perm.astype(jnp.uint32)
-        xl = [bu[:, :, 4 * i] | (bu[:, :, 4 * i + 1] << 8)
-              | (bu[:, :, 4 * i + 2] << 16) | (bu[:, :, 4 * i + 3] << 24)
-              for i in range(nl)]                    # each (ng, K, G)
-        yl = [bu[:, :, 4 * (nl + i)] | (bu[:, :, 4 * (nl + i) + 1] << 8)
-              | (bu[:, :, 4 * (nl + i) + 2] << 16)
-              | (bu[:, :, 4 * (nl + i) + 3] << 24) for i in range(nl)]
-
-        # negate y where the digit was negative: y -> p - y (real lanes only;
-        # dummies have sneg == 0). borrow-free since 0 < y < p for reals.
         def lane_g(a):   # (wg, tiles, K) -> (ng, K, G)
             a = jnp.transpose(a, (1, 0, 2)).reshape(ng, G, K)
             return jnp.transpose(a, (0, 2, 1))
-        sneg_g = lane_g(sneg)
-        bp = [jnp.broadcast_to(v, yl[0].shape) for v in p32]
-        ynegl, _ = _sub_limbs(bp, yl)
-        use_neg = sneg_g == 1
-        yl = [jnp.where(use_neg, a, b) for a, b in zip(ynegl, yl)]
+        flags = lane_g(is_real.astype(jnp.int32)
+                       + 2 * is_dacc.astype(jnp.int32)
+                       + 4 * sneg.astype(jnp.int32))
 
-        xs = jnp.stack(xl, axis=2)                   # (ng, K, L, G)
-        ys = jnp.stack(yl, axis=2)
-        flags = jnp.stack([lane_g(is_real.astype(jnp.int32)),
-                           lane_g(is_dacc.astype(jnp.int32))], axis=2)
-
-        dx, dy, dz = fold(xs, ys, flags)             # (L, C)
+        dx, dy, dz = fold(perm, flags)               # (L, C)
         return jnp.stack([dx, dy, dz])               # (3, L, C)
 
     n_groups = -(-n_windows // wg)

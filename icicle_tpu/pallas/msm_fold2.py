@@ -38,6 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from icicle_tpu.curves.params import get_curve
+from icicle_tpu.math.bigint import _sub_limbs
 from icicle_tpu.pallas.msm_kernel import _ListField, _madd_list, _kernel_consts
 
 
@@ -65,15 +66,19 @@ def _sel(cond, a, b):
     return [jnp.where(cond, x, y) for x, y in zip(a, b)]
 
 
-def make_suffix_fold(curve_name: str, K: int, C: int):
+def make_suffix_fold(curve_name: str, K: int, C: int, G: int | None = None):
     """Build the suffix-fold kernel.
 
-    invoke(xs, ys (n_groups, K, L, G) u32 Montgomery,
-           flags (n_groups, K, 2, G) i32)
+    invoke(pbytes (n_groups, K, 8L, G) bf16 Montgomery coordinate bytes
+           (x||y), flags (n_groups, K, G) i32 bit0=is_real bit1=is_dacc
+           bit2=negate_y)
       -> (Dx, Dy, Dz) each (L, C) u32: the per-tile weighted window sums
          (lane = g*G + lane_in_group).
-    Cross-tile reduction happens in XLA (a log-C roll-scan costs one add
-    instance in the graph; unrolling it here blew up Mosaic compile time).
+    Byte->limb assembly and y-negation happen IN-KERNEL: the XLA passes that
+    did them (unpack + select + stack + a whole-array transpose) were ~2x
+    the kernel's own runtime. Cross-tile reduction happens in XLA (a log-C
+    roll-scan costs one add instance in the graph; unrolling it here blew up
+    Mosaic compile time).
 
     Lanes are processed in groups of <= 1024 (exactly one (8, 128) vreg per
     per-limb temp): the straight-line comba keeps ~60 temps live, so wider
@@ -84,19 +89,36 @@ def make_suffix_fold(curve_name: str, K: int, C: int):
     eng = curve.fq.engine
     f = _ListField(eng)
     b3_np, one_np, nl = _kernel_consts(curve_name)
-    G = lane_group(C)
+    p32 = [int(v) for v in eng.p32]
+    G = G or lane_group(C)
+    assert C % G == 0 and G <= 1024
     n_groups = C // G
 
-    def kernel(consts_ref, x_ref, y_ref, f_ref, dxo, dyo, dzo,
+    def kernel(consts_ref, pb_ref, f_ref, dxo, dyo, dzo,
                Ex, Ey, Ez, Dx, Dy, Dz):
         k = pl.program_id(1)
-        x2 = [x_ref[0, 0, i, :] for i in range(nl)]
-        y2 = [y_ref[0, 0, i, :] for i in range(nl)]
+
+        def limb(i):
+            b0 = pb_ref[0, 0, 4 * i, :].astype(jnp.uint32)
+            b1 = pb_ref[0, 0, 4 * i + 1, :].astype(jnp.uint32)
+            b2 = pb_ref[0, 0, 4 * i + 2, :].astype(jnp.uint32)
+            b3_ = pb_ref[0, 0, 4 * i + 3, :].astype(jnp.uint32)
+            return b0 | (b1 << 8) | (b2 << 16) | (b3_ << 24)
+
+        x2 = [limb(i) for i in range(nl)]
+        yraw = [limb(nl + i) for i in range(nl)]
+        fl = f_ref[0, 0, :]
+        is_real = (fl & 1) != 0
+        is_dacc = (fl & 2) != 0
+        neg_y = (fl & 4) != 0
+        # y -> p - y on negated lanes (borrow-free: 0 < y < p for reals;
+        # dummies never set the bit)
+        pc = [jnp.full((G,), jnp.uint32(v)) for v in p32]
+        yneg, _ = _sub_limbs(pc, yraw)
+        y2 = [jnp.where(neg_y, a, b) for a, b in zip(yneg, yraw)]
         b3 = [jnp.broadcast_to(consts_ref[0, i], (G,)) for i in range(nl)]
         one = [jnp.broadcast_to(consts_ref[1, i], (G,)) for i in range(nl)]
         zero = [jnp.zeros((G,), jnp.uint32) for _ in range(nl)]
-        is_real = f_ref[0, 0, 0, :] != 0
-        is_dacc = f_ref[0, 0, 1, :] != 0
 
         @pl.when(k == 0)
         def _():
@@ -137,9 +159,9 @@ def make_suffix_fold(curve_name: str, K: int, C: int):
                 dyo[0, i, :] = Dy[i, :]
                 dzo[0, i, :] = Dz[i, :]
 
-    coord_spec = pl.BlockSpec((1, 1, nl, G), lambda g, k: (g, k, 0, 0),
-                              memory_space=pltpu.VMEM)
-    flag_spec = pl.BlockSpec((1, 1, 2, G), lambda g, k: (g, k, 0, 0),
+    pb_spec = pl.BlockSpec((1, 1, 8 * nl, G), lambda g, k: (g, k, 0, 0),
+                           memory_space=pltpu.VMEM)
+    flag_spec = pl.BlockSpec((1, 1, G), lambda g, k: (g, k, 0),
                              memory_space=pltpu.VMEM)
     const_spec = pl.BlockSpec((2, nl), lambda g, k: (0, 0),
                               memory_space=pltpu.VMEM)
@@ -150,7 +172,7 @@ def make_suffix_fold(curve_name: str, K: int, C: int):
     call = pl.pallas_call(
         kernel,
         grid=(n_groups, K),
-        in_specs=[const_spec, coord_spec, coord_spec, flag_spec],
+        in_specs=[const_spec, pb_spec, flag_spec],
         out_specs=(out_spec, out_spec, out_spec),
         out_shape=(out_sds, out_sds, out_sds),
         scratch_shapes=[pltpu.VMEM((nl, G), jnp.uint32) for _ in range(6)],
@@ -160,8 +182,8 @@ def make_suffix_fold(curve_name: str, K: int, C: int):
     )
     consts = jnp.asarray(np.stack([b3_np, one_np]))
 
-    def invoke(xs, ys, flags):
-        dx, dy, dz = call(consts, xs, ys, flags)
+    def invoke(pbytes, flags):
+        dx, dy, dz = call(consts, pbytes, flags)
         back = lambda a: jnp.transpose(a, (1, 0, 2)).reshape(nl, C)
         return back(dx), back(dy), back(dz)
 
@@ -183,31 +205,37 @@ def make_suffix_fold_xla(curve_name: str, K: int, C: int):
     group = get_group(curve_name)
     nl = get_curve(curve_name).fq.nlimbs
 
-    def invoke(xs, ys, flags):
-        # (n_groups, K, L, G) group-major layout -> (K, L, C), then scan
-        # over K with (C, L)-batched state
-        G = xs.shape[-1]
-        K_ = xs.shape[1]
-        to_klc = lambda a, w: jnp.transpose(a, (1, 2, 0, 3)).reshape(
-            K_, w, C)
-        xs = to_klc(xs, xs.shape[2])
-        ys = to_klc(ys, ys.shape[2])
-        flags = to_klc(flags, 2)
+    fq = get_curve(curve_name).fq
+    f = fq.engine
+
+    def invoke(pbytes, flags):
+        # (n_groups, K, 8L, G) bf16 bytes + (n_groups, K, G) packed flags ->
+        # (K, C, ...) canonical-layout arrays, then scan over K
+        K_ = pbytes.shape[1]
+        bu = jnp.transpose(pbytes, (1, 0, 3, 2)).reshape(
+            K_, C, 8 * nl).astype(jnp.uint32)        # (K, C, 8L)
+        b4 = bu.reshape(K_, C, 2 * nl, 4)
+        limbs = (b4[..., 0] | (b4[..., 1] << 8) | (b4[..., 2] << 16)
+                 | (b4[..., 3] << 24))               # (K, C, 2L)
+        xs = limbs[..., :nl]
+        ys = limbs[..., nl:]
+        fl = jnp.transpose(flags, (1, 0, 2)).reshape(K_, C)
+        ys = jnp.where(((fl & 4) != 0)[..., None], f.neg(ys), ys)
         ident = group.identity((C,))
 
         def body(carry, row):
             E, D = carry
-            xr, yr, fr = row                       # (L, C), (L, C), (2, C)
-            P = Affine(xr.T, yr.T)                 # (C, L)
-            is_real = fr[0] != 0
-            is_dacc = fr[1] != 0
+            xr, yr, fr = row                       # (C, L), (C, L), (C,)
+            P = Affine(xr, yr)
+            is_real = (fr & 1) != 0
+            is_dacc = (fr & 2) != 0
             Enew = group.madd(E, P)
             E = pselect(is_real, Enew, E)
             Dnew = group.add(D, Projective(E.x, E.y, E.z))
             D = pselect(is_dacc, Dnew, D)
             return (E, D), None
 
-        (_, D), _ = jax.lax.scan(body, (ident, ident), (xs, ys, flags))
+        (_, D), _ = jax.lax.scan(body, (ident, ident), (xs, ys, fl))
         to_lc = lambda a: a.T                      # (C, L) -> (L, C)
         return to_lc(D.x), to_lc(D.y), to_lc(D.z)
 
