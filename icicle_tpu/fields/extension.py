@@ -166,6 +166,20 @@ class ExtEngine:
                 bf.sub(bf.mul(c2, x0), bf.mul(c0, x2)),
                 bf.sub(bf.mul(c1, x2), bf.mul(c3, x0)),
             ])
+        if self.degree == 3:
+            # adjugate inverse over X^3 = w (reference cubic_extension.h):
+            # t0 = c0^2 - w c1 c2; t1 = w c2^2 - c0 c1; t2 = c1^2 - c0 c2
+            # norm = c0 t0 + w c2 t1 + w c1 t2; inv = (t0, t1, t2)/norm
+            c0, c1, c2 = c
+            t0 = bf.sub(bf.mul(c0, c0), self._mul_small(bf.mul(c1, c2), w))
+            t1 = bf.sub(self._mul_small(bf.mul(c2, c2), w), bf.mul(c0, c1))
+            t2 = bf.sub(bf.mul(c1, c1), bf.mul(c0, c2))
+            norm = bf.add(bf.mul(c0, t0),
+                          self._mul_small(bf.add(bf.mul(c2, t1),
+                                                 bf.mul(c1, t2)), w))
+            ninv = bf.inv(norm)
+            return self.restack([bf.mul(t0, ninv), bf.mul(t1, ninv),
+                                 bf.mul(t2, ninv)])
         raise NotImplementedError(f"inv for degree {self.degree}")
 
     def pow_const(self, a, e: int):

@@ -89,3 +89,20 @@ def test_ext_mont_roundtrip():
     via_mont = ef.from_mont(ef.mul_mont(ef.to_mont(a), ef.to_mont(b)))
     direct = ef.mul(a, b)
     assert np.array_equal(np.asarray(via_mont), np.asarray(direct))
+
+
+def test_cubic_extension_inv_mul_roundtrip():
+    """Generic cubic tower (reference cubic_extension.h): x * x^-1 == 1."""
+    import numpy as np
+    from icicle_tpu.fields.field import get_field
+    from icicle_tpu.fields.extension import ExtEngine
+    base = get_field("babybear")
+    p = base.modulus
+    w = next(v for v in range(2, 50) if pow(v, (p - 1) // 3, p) != 1)
+    eng = ExtEngine(base, 3, w)
+    rng = np.random.default_rng(11)
+    x = np.asarray(rng.integers(1, p, size=(5, 3), dtype=np.uint32))
+    xi = eng.inv(x)
+    one = np.asarray(eng.mul(x, np.asarray(xi)))
+    assert np.array_equal(one[:, 0], np.ones(5, dtype=np.uint32))
+    assert not one[:, 1:].any()
