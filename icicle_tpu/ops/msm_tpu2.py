@@ -185,11 +185,17 @@ def _jitted_pipeline2(curve_name: str, c: int, nbits: int, n_pad: int, T: int,
         nbytes = points_u8.shape[-1]
 
         # chunk == lane group: each scan step covers B_g tiles x wg windows
-        # and emits its (K, nbytes, G) slice of the kernel input directly —
+        # and emits its (K, nbytes+8, G) slice of the kernel input directly —
         # no whole-array transpose, no XLA unpack (the kernel assembles
-        # limbs and applies y-negation in VMEM)
+        # limbs and applies y-negation in VMEM). The flag word (bit0 is_real,
+        # bit1 is_dacc, bit2 negate_y; values 0..7 are exact in bf16) rides
+        # as row nbytes; rows nbytes+1..+7 pad the sublane tiling.
+        fl_full = (is_real.astype(jnp.int32) + 2 * is_dacc.astype(jnp.int32)
+                   + 4 * sneg.astype(jnp.int32))     # (wg, tiles, K)
+        fl_t = jnp.transpose(fl_full, (1, 0, 2))     # (tiles, wg, K)
+
         def chunk(_, args):
-            si, pb = args               # (B_g, wg, K), (B_g, T, nbytes)
+            si, pb, fc = args  # (B_g, wg, K), (B_g, T, nbytes), (B_g, wg, K)
             oh = (si.reshape(-1, wg * K)[:, :, None] ==
                   jax.lax.broadcasted_iota(jnp.int32, (1, 1, T), 2)
                   ).astype(jnp.bfloat16)    # (B_g, wg*K, T)
@@ -198,24 +204,21 @@ def _jitted_pipeline2(curve_name: str, c: int, nbits: int, n_pad: int, T: int,
                 preferred_element_type=jnp.bfloat16)  # (B_g, wg*K, nbytes)
             out = out.reshape(B_g, wg, K, nbytes)
             # in-group lane = tile_in_block*wg + w
-            return None, jnp.transpose(out, (2, 3, 0, 1)).reshape(
-                K, nbytes, G)
+            out = jnp.transpose(out, (2, 3, 0, 1)).reshape(K, nbytes, G)
+            fl = jnp.transpose(fc, (2, 0, 1)).reshape(
+                K, 1, G).astype(jnp.bfloat16)
+            pad = jnp.zeros((K, 7, G), jnp.bfloat16)
+            return None, jnp.concatenate([out, fl, pad], axis=1)
 
         ng = C // G
         sid_t = jnp.transpose(sidx, (1, 0, 2))       # (tiles, wg, K)
         _, perm = jax.lax.scan(
             chunk, None,
             (sid_t.reshape(ng, B_g, wg, K),
-             points_u8.reshape(ng, B_g, T, nbytes)))  # (ng, K, nbytes, G)
+             points_u8.reshape(ng, B_g, T, nbytes),
+             fl_t.reshape(ng, B_g, wg, K)))          # (ng, K, nbytes+8, G)
 
-        def lane_g(a):   # (wg, tiles, K) -> (ng, K, G)
-            a = jnp.transpose(a, (1, 0, 2)).reshape(ng, G, K)
-            return jnp.transpose(a, (0, 2, 1))
-        flags = lane_g(is_real.astype(jnp.int32)
-                       + 2 * is_dacc.astype(jnp.int32)
-                       + 4 * sneg.astype(jnp.int32))
-
-        dx, dy, dz = fold(perm, flags)               # (L, C)
+        dx, dy, dz = fold(perm)                      # (L, C)
         return jnp.stack([dx, dy, dz])               # (3, L, C)
 
     n_groups = -(-n_windows // wg)

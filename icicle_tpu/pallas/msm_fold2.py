@@ -69,9 +69,10 @@ def _sel(cond, a, b):
 def make_suffix_fold(curve_name: str, K: int, C: int, G: int | None = None):
     """Build the suffix-fold kernel.
 
-    invoke(pbytes (n_groups, K, 8L, G) bf16 Montgomery coordinate bytes
-           (x||y), flags (n_groups, K, G) i32 bit0=is_real bit1=is_dacc
-           bit2=negate_y)
+    invoke(pbytes (n_groups, K, 8L+8, G) bf16: Montgomery coordinate bytes
+           (x||y) in rows 0..8L-1, the flag word in row 8L (bit0=is_real,
+           bit1=is_dacc, bit2=negate_y; exact in bf16), rows 8L+1.. pad the
+           sublane tiling)
       -> (Dx, Dy, Dz) each (L, C) u32: the per-tile weighted window sums
          (lane = g*G + lane_in_group).
     Byte->limb assembly and y-negation happen IN-KERNEL: the XLA passes that
@@ -94,7 +95,7 @@ def make_suffix_fold(curve_name: str, K: int, C: int, G: int | None = None):
     assert C % G == 0 and G <= 1024
     n_groups = C // G
 
-    def kernel(consts_ref, pb_ref, f_ref, dxo, dyo, dzo,
+    def kernel(consts_ref, pb_ref, dxo, dyo, dzo,
                Ex, Ey, Ez, Dx, Dy, Dz):
         k = pl.program_id(1)
 
@@ -107,7 +108,7 @@ def make_suffix_fold(curve_name: str, K: int, C: int, G: int | None = None):
 
         x2 = [limb(i) for i in range(nl)]
         yraw = [limb(nl + i) for i in range(nl)]
-        fl = f_ref[0, 0, :]
+        fl = pb_ref[0, 0, 8 * nl, :].astype(jnp.int32)
         is_real = (fl & 1) != 0
         is_dacc = (fl & 2) != 0
         neg_y = (fl & 4) != 0
@@ -159,10 +160,8 @@ def make_suffix_fold(curve_name: str, K: int, C: int, G: int | None = None):
                 dyo[0, i, :] = Dy[i, :]
                 dzo[0, i, :] = Dz[i, :]
 
-    pb_spec = pl.BlockSpec((1, 1, 8 * nl, G), lambda g, k: (g, k, 0, 0),
+    pb_spec = pl.BlockSpec((1, 1, 8 * nl + 8, G), lambda g, k: (g, k, 0, 0),
                            memory_space=pltpu.VMEM)
-    flag_spec = pl.BlockSpec((1, 1, G), lambda g, k: (g, k, 0),
-                             memory_space=pltpu.VMEM)
     const_spec = pl.BlockSpec((2, nl), lambda g, k: (0, 0),
                               memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, nl, G), lambda g, k: (g, 0, 0),
@@ -172,7 +171,7 @@ def make_suffix_fold(curve_name: str, K: int, C: int, G: int | None = None):
     call = pl.pallas_call(
         kernel,
         grid=(n_groups, K),
-        in_specs=[const_spec, pb_spec, flag_spec],
+        in_specs=[const_spec, pb_spec],
         out_specs=(out_spec, out_spec, out_spec),
         out_shape=(out_sds, out_sds, out_sds),
         scratch_shapes=[pltpu.VMEM((nl, G), jnp.uint32) for _ in range(6)],
@@ -182,8 +181,8 @@ def make_suffix_fold(curve_name: str, K: int, C: int, G: int | None = None):
     )
     consts = jnp.asarray(np.stack([b3_np, one_np]))
 
-    def invoke(pbytes, flags):
-        dx, dy, dz = call(consts, pbytes, flags)
+    def invoke(pbytes):
+        dx, dy, dz = call(consts, pbytes)
         back = lambda a: jnp.transpose(a, (1, 0, 2)).reshape(nl, C)
         return back(dx), back(dy), back(dz)
 
@@ -208,18 +207,19 @@ def make_suffix_fold_xla(curve_name: str, K: int, C: int):
     fq = get_curve(curve_name).fq
     f = fq.engine
 
-    def invoke(pbytes, flags):
-        # (n_groups, K, 8L, G) bf16 bytes + (n_groups, K, G) packed flags ->
-        # (K, C, ...) canonical-layout arrays, then scan over K
+    def invoke(pbytes):
+        # (n_groups, K, 8L+8, G) bf16 bytes+flags -> (K, C, ...) canonical
+        # layout arrays, then scan over K
         K_ = pbytes.shape[1]
-        bu = jnp.transpose(pbytes, (1, 0, 3, 2)).reshape(
-            K_, C, 8 * nl).astype(jnp.uint32)        # (K, C, 8L)
+        full = jnp.transpose(pbytes, (1, 0, 3, 2)).reshape(
+            K_, C, -1)                               # (K, C, 8L+8)
+        bu = full[..., :8 * nl].astype(jnp.uint32)
+        fl = full[..., 8 * nl].astype(jnp.int32)     # (K, C)
         b4 = bu.reshape(K_, C, 2 * nl, 4)
         limbs = (b4[..., 0] | (b4[..., 1] << 8) | (b4[..., 2] << 16)
                  | (b4[..., 3] << 24))               # (K, C, 2L)
         xs = limbs[..., :nl]
         ys = limbs[..., nl:]
-        fl = jnp.transpose(flags, (1, 0, 2)).reshape(K_, C)
         ys = jnp.where(((fl & 4) != 0)[..., None], f.neg(ys), ys)
         ident = group.identity((C,))
 
