@@ -99,16 +99,20 @@ def make_suffix_fold(curve_name: str, K: int, C: int, G: int | None = None):
                Ex, Ey, Ez, Dx, Dy, Dz):
         k = pl.program_id(1)
 
+        def byte_u32(row):
+            # Mosaic has no bf16->u32 cast; bf16 -> f32 -> i32 -> u32 (all
+            # values 0..255, exact)
+            return pb_ref[0, 0, row, :].astype(jnp.float32).astype(
+                jnp.int32).astype(jnp.uint32)
+
         def limb(i):
-            b0 = pb_ref[0, 0, 4 * i, :].astype(jnp.uint32)
-            b1 = pb_ref[0, 0, 4 * i + 1, :].astype(jnp.uint32)
-            b2 = pb_ref[0, 0, 4 * i + 2, :].astype(jnp.uint32)
-            b3_ = pb_ref[0, 0, 4 * i + 3, :].astype(jnp.uint32)
-            return b0 | (b1 << 8) | (b2 << 16) | (b3_ << 24)
+            return (byte_u32(4 * i) | (byte_u32(4 * i + 1) << 8)
+                    | (byte_u32(4 * i + 2) << 16)
+                    | (byte_u32(4 * i + 3) << 24))
 
         x2 = [limb(i) for i in range(nl)]
         yraw = [limb(nl + i) for i in range(nl)]
-        fl = pb_ref[0, 0, 8 * nl, :].astype(jnp.int32)
+        fl = pb_ref[0, 0, 8 * nl, :].astype(jnp.float32).astype(jnp.int32)
         is_real = (fl & 1) != 0
         is_dacc = (fl & 2) != 0
         neg_y = (fl & 4) != 0

@@ -167,3 +167,24 @@ def test_msm_affine_dispatch():
     got = msm_affine("bn254", fr.from_ints(scalars), px, py,
                      MSMConfig(c=6, backend="xla"))
     assert got == want
+
+
+@pytest.mark.parametrize("curve_name", ["bls12_381", "bw6_761", "grumpkin"])
+def test_msm_all_curves(curve_name):
+    """Per-curve MSM coverage (reference per-curve test matrix, ci.yml)."""
+    curve = get_curve(curve_name)
+    mod = curve.fq.modulus
+    fr, fq = curve.fr, curve.fq
+    rng = np.random.default_rng(hash(curve_name) % 2**31)
+    n = 16
+    gen = (curve.gen_x, curve.gen_y)
+    pts = [ec_mul(gen, int(k), mod) for k in rng.integers(1, 1 << 20, size=n)]
+    scalars = [int(s) for s in rng.integers(0, 1 << 30, size=n)]
+    got = get_group(curve_name).to_affine_canonical(
+        msm(curve_name, fr.from_ints(scalars),
+            fq.from_ints([p[0] for p in pts]),
+            fq.from_ints([p[1] for p in pts]), MSMConfig(c=6)))
+    want = msm_ref(scalars, pts, mod)
+    want = want if want is not INF else (0, 0)
+    assert (int(np.atleast_1d(fq.to_ints(got[0]))[0]),
+            int(np.atleast_1d(fq.to_ints(got[1]))[0])) == want
