@@ -65,12 +65,13 @@ def _plan2(n: int, c: int | None, nbits: int, T: int | None):
     tiles = -(-n // T)
     tiles = 1 << max(0, (tiles - 1).bit_length())
     # windows per fold pass: target <= 16384 lanes, bounded by ~4 GB of
-    # in-flight permuted data (~256B per slot incl. bf16 padding); kept a
-    # power of two so lane groups stay 128-lane aligned
+    # in-flight permuted data (~256B per slot incl. bf16 padding); balanced
+    # across groups (lane groups of wg*B_g lanes handle any wg)
     byte_budget = 4 << 30
     per_window = tiles * (T + M) * 256
-    bound = max(1, min(n_windows, 16384 // tiles, byte_budget // per_window))
-    wg = 1 << (bound.bit_length() - 1)
+    wg = max(1, min(n_windows, 16384 // tiles, byte_budget // per_window))
+    n_groups = -(-n_windows // wg)
+    wg = -(-n_windows // n_groups)
     return c, M, T, tiles, n_windows, wg
 
 
@@ -146,7 +147,8 @@ def _jitted_pipeline2(curve_name: str, c: int, nbits: int, n_pad: int, T: int,
     C = wg * tiles
     # lane group = wg windows x B_g tiles (so the permute scan's chunk axis
     # IS the kernel's group axis); <= 1024 lanes per group
-    B_g = min(tiles, max(1, 1024 // wg))
+    b = max(1, 1024 // wg)
+    B_g = min(tiles, 1 << (b.bit_length() - 1))   # pow2 divisor of tiles
     G = wg * B_g
 
     if backend == "pallas":
