@@ -150,9 +150,9 @@ def ntt_four_step_pallas(f: Field, x, dir, fs_tw=None):
     rev2 = jnp.asarray(bit_reverse_indices(n2))
 
     def pick_tr(rows, N):
-        # ~0.5MB blocks: the kernel keeps ~7 (TR, N) temps live plus double-
+        # ~1MB blocks: the kernel keeps ~7 (TR, N) temps live plus double-
         # buffered in/out blocks inside the 16MB VMEM budget
-        budget = (1 << 19) // (N * 4)
+        budget = (1 << 20) // (N * 4)
         tr = max(8, min(rows, budget))
         while rows % tr:
             tr //= 2
