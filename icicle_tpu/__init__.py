@@ -35,6 +35,8 @@ from icicle_tpu.curves.group import get_group, Projective, Affine  # noqa: F401,
 from icicle_tpu.runtime.config import (  # noqa: F401,E402
     NTTConfig, NTTDir, Ordering, VecOpsConfig, MerkleTreeConfig,
 )
+from icicle_tpu.runtime import registry as _registry  # noqa: F401,E402
+# registers every frontend op with the dispatcher (reference REGISTER_* analog)
 
 __all__ = [
     "get_field", "field_names", "get_ext_field",

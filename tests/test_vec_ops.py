@@ -128,3 +128,27 @@ def test_flat_layout_roundtrip(rng):
         assert arr.shape == (3, 4)
         back = V.to_flat(f, arr, columns_batch=cb)
         assert list(f.to_ints(back)) == list(f.to_ints(flat))
+
+
+def test_dispatcher_registry_surface():
+    """Importing the package registers every frontend op (reference
+    REGISTER_* points, include/icicle/backend/*.h)."""
+    import icicle_tpu  # noqa: F401
+    from icicle_tpu.runtime import dispatcher, registry
+    apis = dispatcher.registered_apis()
+    for api in ("ntt", "msm", "msm_precompute_bases", "ecntt",
+                "merkle_tree_factory", "poseidon2_factory",
+                "sumcheck_factory", "fri_factory", "negacyclic_ntt",
+                "ml_kem_keygen", "matmul", "vec_ops.add"):
+        assert api in apis, api
+    assert len(apis) >= 40
+    # pallas points exist where Mosaic kernels exist
+    assert "pallas" in apis["ntt"] and "pallas" in apis["msm"]
+    # execute() routes like tIcicleExecuteDispatcher::execute
+    import numpy as np
+    from icicle_tpu.fields.field import get_field
+    f = get_field("babybear")
+    a = f.from_ints([1, 2, 3])
+    b = f.from_ints([4, 5, 6])
+    got = np.asarray(registry.execute("vec_ops.add", f, a, b))
+    assert got.tolist() == [5, 7, 9]
