@@ -21,10 +21,12 @@ yields the whole weighted window sum. Each kernel lane owns one tile's
 stream; the per-tile sums combine by a log-depth roll-scan add tree in XLA —
 no bucket arrays exist at all.
 
-Layouts: coordinates are (K, L, C) uint32 (limb-major rows; C = tiles on the
-128-lane axis), flags (K, 2, C) int32 [is_real; is_d_accum]. Montgomery form
-throughout; the montmul bodies are straight-line comba/CIOS from
-math/bigint.py, fused by Mosaic into VPU code.
+Layouts: the kernel consumes (n_groups, K, 8L+8, G) bf16 — permuted
+Montgomery coordinate BYTES (one-hot-matmul output, assembled into u32
+limbs in VMEM) with a packed flag word in row 8L — with lanes in contiguous
+<=1024-wide groups. Montgomery form throughout; the montmul bodies are
+straight-line comba/CIOS from math/bigint.py, fused by Mosaic into VPU
+code.
 """
 
 from __future__ import annotations
