@@ -198,12 +198,16 @@ class BigField:
     def _redc16(self, t):
         """Montgomery reduction of a 2*nh-half-limb value t < p*R -> [0, p).
 
-        Word-by-word CIOS with 16-bit words; carries ripple statically.
+        Word-by-word CIOS with 16-bit words. Carries past position i+nh are
+        NOT rippled to the top each iteration (that is O(nh^2) extra ops);
+        a single deferred wide word W rides at position i+nh+1 and is
+        absorbed by the next iteration's tail (W <= 2 throughout, so every
+        32-bit intermediate stays exact).
         """
         nh = self.nh
         t = list(t)
         assert len(t) == 2 * nh
-        ovf = jnp.zeros_like(t[0])  # accumulated carries past the top limb
+        W = jnp.zeros_like(t[0])    # wide word at position i+nh+1
         for i in range(nh):
             m = (t[i] * self.inv16) & MASK16
             c = None
@@ -211,18 +215,16 @@ class BigField:
                 v = t[i + j] + m * self.p16[j]
                 if c is not None:
                     v = v + c
-                t[i + j] = v & MASK16
+                if j > 0:
+                    t[i + j] = v & MASK16
                 c = v >> 16
-            # ripple the carry through the remaining limbs
-            for k in range(i + nh, 2 * nh):
-                v = t[k] + c
-                t[k] = v & MASK16
-                c = v >> 16
-            ovf = ovf + c
+            v = (t[i + nh] + c + W) if i > 0 else (t[i + nh] + c)
+            t[i + nh] = v & MASK16
+            W = v >> 16
         res16 = t[nh:]
         res32 = _join32(res16)
         d, borrow = _sub_limbs(res32, [jnp.broadcast_to(x, res32[0].shape) for x in self.p32])
-        use_d = (ovf > 0) | (borrow == 0)
+        use_d = (W > 0) | (borrow == 0)
         return _select(use_d, d, res32)
 
     # -- loop-based SOS Montgomery (small XLA graphs) --------------------------

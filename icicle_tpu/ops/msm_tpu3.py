@@ -1,0 +1,366 @@
+"""Prefix-scan + MXU-extraction MSM pipeline (v3) — the TPU large-n path.
+
+Reference surface: ``include/icicle/msm.h`` (msm, MSMConfig.c), CPU algorithm
+``backend/cpu/src/curve/cpu_msm.hpp`` phases 1-3. Successor to the v2
+suffix-fold pipeline (ops/msm_tpu2.py); see pallas/msm_scan.py for the
+kernel-level rationale. Per window:
+
+  1. signed digits (XLA; shared with v2)
+  2. per (window, tile of T points): single-u32 packed row-sort
+     ((kmax-|digit|) << 14 | neg << 13 | idx) — NO dummy slots
+  3. point limbs routed to sorted slots by one-hot matmuls on the MXU,
+     assembled to u32 and sign-applied in XLA
+  4. Pallas prefix-scan kernel: E += P per slot (13-montmul complete mixed
+     add, no flags), E streamed to HBM
+  5. run-end prefixes extracted by one-hot matmuls over the E-stream bytes
+     (exact byte selection, MXU) -> dense per-tile bucket arrays B_k^t
+  6. cross-tile fold-halves reduce (work ~ tiles*M, not tiles*M*log) ->
+     per-window buckets B_k
+  7. weighted reduction sum_k k*B_k = sum_k SuffixSum_k via a log2(M)
+     Hillis-Steele suffix scan + fold (XLA)
+  8. window Horner on host ints.
+
+The kernel does 13 montmuls/slot on exactly n*W slots (v2: 27 on
+(n + tiles*2^(c-1))*W slots); the MXU (idle in v2) absorbs the extraction.
+TPU layout rules as v2: limb-major at jit boundaries, big trailing axes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from icicle_tpu.curves.params import get_curve
+from icicle_tpu.curves.host_ec import ec_add, ec_dbl, INF
+from icicle_tpu.ops.msm_tpu2 import _signed_digits_t
+from icicle_tpu.pallas.msm_scan import make_prefix_scan, make_prefix_scan_xla
+
+_IDX_BITS = 13
+_NEG_BIT = 13
+_KEY_SHIFT = 14
+
+
+def _plan3(n: int, c: int | None, nbits: int, T: int | None):
+    T = T or min(8192, max(256, n))
+    T = min(T, 1 << _IDX_BITS)
+    if c is None:
+        best = None
+        for cc in range(4, 17):
+            w = (nbits + cc) // cc + 1
+            cost = w * (1.0 + (1 << (cc - 1)) / T)
+            if best is None or cost < best[1]:
+                best = (cc, cost)
+        c = best[0]
+    M = 1 << (c - 1)
+    assert M < (1 << (31 - _KEY_SHIFT))
+    n_windows = (nbits + c) // c + 1
+    tiles = -(-n // T)
+    tiles = 1 << max(0, (tiles - 1).bit_length())
+    # windows per group: bound in-flight permuted+E-stream bytes (~160B/slot)
+    byte_budget = 6 << 30
+    per_window = tiles * T * 160
+    wg = max(1, min(n_windows, byte_budget // max(per_window, 1), 8))
+    n_groups = -(-n_windows // wg)
+    wg = -(-n_windows // n_groups)
+    return c, M, T, tiles, n_windows, wg
+
+
+def _bytes_i8(a):
+    """uint32 (..., R, G) -> int8 (..., 4R, G) little-endian byte planes."""
+    planes = [((a >> (8 * i)) & jnp.uint32(0xFF)).astype(jnp.int32).astype(
+        jnp.int8) for i in range(4)]
+    st = jnp.stack(planes, axis=-2)         # (..., R, 4, G)
+    sh = st.shape
+    return st.reshape(sh[:-3] + (sh[-3] * 4, sh[-1]))
+
+
+def _join_u32(cols):
+    """int32 byte columns (..., 4R) -> u32 (..., R)."""
+    b = cols.astype(jnp.uint32) & jnp.uint32(0xFF)
+    sh = b.shape
+    b4 = b.reshape(sh[:-1] + (sh[-1] // 4, 4))
+    return (b4[..., 0] | (b4[..., 1] << 8) | (b4[..., 2] << 16)
+            | (b4[..., 3] << 24))
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_pipeline3(curve_name: str, c: int, nbits: int, n_pad: int, T: int,
+                      tiles: int, wg: int, backend: str):
+    from icicle_tpu.curves.group import get_group, Projective
+    from icicle_tpu.math.bigint import mul_mode
+    import contextlib
+
+    curve = get_curve(curve_name)
+    fq = curve.fq
+    nl = fq.nlimbs
+    M = 1 << (c - 1)
+    K = T
+    n_windows = (nbits + c) // c + 1
+    kmax = M
+    C = wg * tiles
+    b = max(1, 1024 // wg)
+    B_g = min(tiles, 1 << (b.bit_length() - 1))
+    G = wg * B_g
+    ng_chunks = C // G
+
+    if backend == "pallas":
+        scan = make_prefix_scan(curve_name, K, C, G)
+    else:
+        scan = make_prefix_scan_xla(curve_name, K, C)
+
+    group = get_group(curve_name)
+    p32 = [np.uint32(v) for v in fq.engine.p32]
+    one_mont = np.asarray(fq.params.const_limbs32(fq.params.r % fq.modulus),
+                          dtype=np.uint32)
+    iota_t = jnp.arange(T, dtype=jnp.uint32)
+
+    def group_fn(points_u8, digits_g):
+        """points_u8 (tiles, T, 8L) int8 Montgomery coord bytes (x||y);
+        digits_g (wg, tiles, T) int32 -> bucket sums (wg, 3, L, M) u32."""
+        key = jnp.abs(digits_g).astype(jnp.uint32)
+        neg = (digits_g < 0).astype(jnp.uint32)
+        pack = ((jnp.uint32(kmax) - key) << _KEY_SHIFT) \
+            | (neg << _NEG_BIT) | iota_t[None, None, :]
+        spack = jax.lax.sort([pack], dimension=2, num_keys=1)[0]  # (wg,t,K)
+
+        skey = (jnp.uint32(kmax) - (spack >> _KEY_SHIFT)).astype(jnp.int32)
+        sneg = (spack >> _NEG_BIT) & 1
+        sidx = (spack & ((1 << _IDX_BITS) - 1)).astype(jnp.int32)
+        nxt = jnp.concatenate(
+            [skey[:, :, 1:], jnp.zeros((wg, tiles, 1), jnp.int32)], axis=2)
+        is_end = (skey != nxt) & (skey >= 1)              # (wg, tiles, K)
+
+        sid_t = jnp.transpose(sidx, (1, 0, 2))            # (tiles, wg, K)
+        sneg_t = jnp.transpose(sneg, (1, 0, 2))
+
+        def permute_chunk(_, args):
+            si, pb, ng_c = args  # (B_g, wg, K), (B_g, T, 8L), (B_g, wg, K)
+            oh = (si.reshape(-1, wg * K)[:, :, None] ==
+                  jax.lax.broadcasted_iota(jnp.int32, (1, 1, T), 2)
+                  ).astype(jnp.int8)                      # (B_g, wg*K, T)
+            out = jax.lax.dot_general(
+                oh, pb, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32)         # (B_g, wg*K, 8L)
+            limbs = _join_u32(out.reshape(B_g, wg, K, 8 * nl))  # (..., 2L)
+            x = limbs[..., :nl]
+            y = limbs[..., nl:]
+            pc = jnp.asarray(np.array([int(v) for v in p32], np.uint32))
+            yneg = _sub_mod_limbs(pc, y)
+            y = jnp.where((ng_c.reshape(B_g, wg, K) == 1)[..., None],
+                          yneg, y)
+            xy = jnp.concatenate([x, y], axis=-1)         # (B_g, wg, K, 2L)
+            # kernel layout (K, 2L, G), in-group lane = tile_in_block*wg + w
+            return None, jnp.transpose(xy, (2, 3, 0, 1)).reshape(K, 2 * nl, G)
+
+        _, perm = jax.lax.scan(
+            permute_chunk, None,
+            (sid_t.reshape(ng_chunks, B_g, wg, K),
+             points_u8.reshape(ng_chunks, B_g, T, 8 * nl),
+             sneg_t.reshape(ng_chunks, B_g, wg, K).astype(jnp.int32)))
+
+        estream = scan(perm)                              # (ng, K, 3L, G)
+
+        # extraction: per lane, one-hot over run-end slots -> buckets 1..M
+        # OH (G, K, M) int8; E bytes (G, K, 12L) int8; contract K on the MXU
+        ohm = jnp.transpose(
+            (skey[:, :, :, None] ==
+             (jnp.uint32(M) - jax.lax.broadcasted_iota(
+                 jnp.uint32, (1, 1, 1, M), 3)).astype(jnp.int32))
+            & is_end[:, :, :, None], (1, 0, 2, 3))        # (tiles, wg, K, M)
+        ohm = ohm.reshape(ng_chunks, B_g * wg, K, M).astype(jnp.int8)
+
+        def extract_chunk(_, args):
+            oh, es = args      # (G, K, M) int8, (K, 3L, G) u32
+            eb = _bytes_i8(es)                            # (K, 12L, G) int8
+            eb = jnp.transpose(eb, (2, 0, 1))             # (G, K, 12L)
+            out = jax.lax.dot_general(
+                oh, eb, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32)         # (G, M, 12L)
+            return None, _join_u32(out)                   # (G, M, 3L)
+
+        _, buckets = jax.lax.scan(extract_chunk, None, (ohm, estream))
+        buckets = buckets.reshape(tiles, wg, M, 3 * nl)
+
+        # The extracted value at key j is the tile prefix S_j = sum of the
+        # tile's points with |digit| >= j. Keys ABSENT from a tile must
+        # replicate the nearest higher key's prefix (v2 forced this with
+        # 2^(c-1) dummy slots per tile; here it is a log2(M)-round
+        # fill-forward of SELECTS along the descending bucket axis).
+        # Present rows are never all-zero (complete-formula identities have
+        # Y != 0), so all-zero identifies absence exactly.
+        present = jnp.any(buckets != 0, axis=-1)          # (tiles, wg, M)
+        filled = buckets
+        d = 1
+        while d < M:
+            shifted = jnp.concatenate(
+                [jnp.zeros((tiles, wg, d, 3 * nl), jnp.uint32),
+                 filled[:, :, :-d]], axis=2)
+            pshift = jnp.concatenate(
+                [jnp.zeros((tiles, wg, d), bool), present[:, :, :-d]],
+                axis=2)
+            filled = jnp.where(present[..., None], filled, shifted)
+            present = present | pshift
+            d *= 2
+        ident_row = jnp.concatenate(
+            [jnp.zeros((nl,), jnp.uint32), jnp.asarray(one_mont),
+             jnp.zeros((nl,), jnp.uint32)])
+        buckets = jnp.where(present[..., None], filled, ident_row)
+
+        # cross-tile fold-halves: work tiles*M*wg adds total
+        def fold(b):
+            while b.shape[0] > 1:
+                h = b.shape[0] // 2
+                lo, hi = b[:h], b[h:]
+                s = group.add(
+                    Projective(lo[..., :nl], lo[..., nl:2 * nl],
+                               lo[..., 2 * nl:]),
+                    Projective(hi[..., :nl], hi[..., nl:2 * nl],
+                               hi[..., 2 * nl:]))
+                b = jnp.concatenate([s.x, s.y, s.z], axis=-1)
+            return b[0]                                   # (wg, M, 3L)
+
+        return fold(buckets)
+
+    n_groups = -(-n_windows // wg)
+    w_pad = n_groups * wg
+
+    @jax.jit
+    def run(scalars_t, points_u8):
+        mm = (mul_mode("unrolled") if backend == "pallas"
+              else contextlib.nullcontext())
+        with mm:
+            digits = _signed_digits_t(scalars_t, c, nbits)    # (W, n_pad)
+            if w_pad != n_windows:
+                digits = jnp.concatenate(
+                    [digits, jnp.zeros((w_pad - n_windows, digits.shape[1]),
+                                       digits.dtype)], axis=0)
+            digits = digits.reshape(n_groups, wg, tiles, T)
+
+            def body(_, dg):
+                return None, group_fn(points_u8, dg)
+
+            _, buckets = jax.lax.scan(body, None, digits)  # (ngw,wg,M,3L)
+            buckets = buckets.reshape(w_pad, M, 3 * nl)[:n_windows]
+
+            # window sum = sum_k k*B_k = sum over all M filled prefixes
+            # (per-tile fill already happened in group_fn): fold-halves
+            def padd_flat(a, b):
+                s = group.add(
+                    Projective(a[..., :nl], a[..., nl:2 * nl],
+                               a[..., 2 * nl:]),
+                    Projective(b[..., :nl], b[..., nl:2 * nl],
+                               b[..., 2 * nl:]))
+                return jnp.concatenate([s.x, s.y, s.z], axis=-1)
+
+            S = buckets
+            while S.shape[1] > 1:
+                h = S.shape[1] // 2
+                S = padd_flat(S[:, :h], S[:, h:])
+            total = S[:, 0]                               # (W, 3L)
+            return total.reshape(n_windows, 3, nl)
+
+    return run
+
+
+def _sub_mod_limbs(p_row, y):
+    """(L,) u32 modulus row minus (..., L) u32 limbs (y < p)."""
+    out = []
+    borrow = jnp.zeros(y.shape[:-1], jnp.uint32)
+    for i in range(y.shape[-1]):
+        x = jnp.broadcast_to(p_row[i], y.shape[:-1])
+        d = x - y[..., i]
+        br = (x < y[..., i]).astype(jnp.uint32)
+        d2 = d - borrow
+        br = br + (d < borrow).astype(jnp.uint32)
+        out.append(d2)
+        borrow = br
+    return jnp.stack(out, axis=-1)
+
+
+@functools.lru_cache(maxsize=None)
+def _prep_fn3(curve_name: str, n_pad: int, tiles: int, T: int):
+    """(L, n_pad) canonical limb-major coords -> (tiles, T, 8L) int8
+    Montgomery bytes (x||y), chunked conversion as v2."""
+    fq = get_curve(curve_name).fq
+    nl = fq.nlimbs
+    ch = T if tiles < 64 else 64 * T
+    n_chunks = n_pad // ch
+    assert n_chunks * ch == n_pad
+
+    @jax.jit
+    def prep(px_t, py_t):
+        def body(cols):
+            x_t, y_t = cols
+            xm = fq.to_mont(x_t.T)
+            ym = fq.to_mont(y_t.T)
+            limbs = jnp.concatenate([xm, ym], axis=-1)    # (ch, 2L)
+            b = jnp.stack([limbs & 0xFF, (limbs >> 8) & 0xFF,
+                           (limbs >> 16) & 0xFF, (limbs >> 24) & 0xFF],
+                          axis=-1)
+            return b.reshape(ch, 8 * nl).astype(jnp.int32).astype(jnp.int8)
+
+        xr = px_t.reshape(nl, n_chunks, ch).transpose(1, 0, 2)
+        yr = py_t.reshape(nl, n_chunks, ch).transpose(1, 0, 2)
+        out = jax.lax.map(body, (xr, yr))
+        return out.reshape(tiles, T, 8 * nl)
+
+    return prep
+
+
+def msm_tpu3(curve_name: str, scalars, points_x, points_y,
+             c: int | None = None, T: int | None = None,
+             backend: str = "pallas"):
+    """Prefix-scan MSM. scalars (N, Ls) canonical u32 limbs; points canonical
+    affine (N, L). Returns canonical affine (x, y) python ints ((0,0) = INF).
+
+    backend: "pallas" (Mosaic kernel) or "xla" (lax.scan twin, CPU tests).
+    """
+    curve = get_curve(curve_name)
+    fq, fr = curve.fq, curve.fr
+    n = scalars.shape[0]
+    nbits = fr.modulus.bit_length()
+    c, M, T, tiles, n_windows, wg = _plan3(n, c, nbits, T)
+    n_pad = tiles * T
+
+    def pad_t(a, width):
+        out = np.zeros((width, n_pad), dtype=np.uint32)
+        out[:, :n] = np.asarray(a).T
+        return out
+
+    scal_t = pad_t(scalars, scalars.shape[1])
+    px_t = pad_t(points_x, fq.nlimbs)
+    py_t = pad_t(points_y, fq.nlimbs)
+    pts_u8 = _prep_fn3(curve_name, n_pad, tiles, T)(px_t, py_t)
+
+    run = _jitted_pipeline3(curve_name, c, nbits, n_pad, T, tiles, wg,
+                            backend)
+    wsums = np.asarray(run(scal_t, pts_u8))               # (W, 3, L)
+
+    p = fq.modulus
+    rinv = pow(1 << (32 * fq.nlimbs), -1, p)
+
+    def limb_int(a) -> int:
+        v = 0
+        for i, w in enumerate(np.asarray(a, dtype=np.uint32)):
+            v |= int(w) << (32 * i)
+        return v
+
+    pts = []
+    for w in range(n_windows):
+        z = limb_int(wsums[w, 2]) * rinv % p
+        if z == 0:
+            pts.append(INF)
+            continue
+        zi = pow(z, -1, p)
+        pts.append((limb_int(wsums[w, 0]) * rinv % p * zi % p,
+                    limb_int(wsums[w, 1]) * rinv % p * zi % p))
+
+    acc = pts[-1]
+    for w in range(n_windows - 2, -1, -1):
+        for _ in range(c):
+            acc = ec_dbl(acc, p)
+        acc = ec_add(acc, pts[w], p)
+    return acc if acc is not INF else (0, 0)

@@ -41,12 +41,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 from icicle_tpu.curves.params import get_curve
 from icicle_tpu.math.bigint import _sub_limbs
-from icicle_tpu.pallas.msm_kernel import _ListField, _madd_list, _kernel_consts
+from icicle_tpu.pallas.msm_kernel import (_ListField, _madd_list,
+                                          _kernel_consts, _b3_small)
 
 
 def _padd_list(f: _ListField, X1, Y1, Z1, X2, Y2, Z2, b3):
-    """Complete projective add, RCB15 Alg 7 (a=0), on limb lists: 14 montmuls."""
+    """Complete projective add, RCB15 Alg 7 (a=0), on limb lists: 14
+    montmuls, or 12 + two mod-add chains for small-int b3."""
     m, add, sub = f.mul_mont, f.add, f.sub
+    mb3 = (lambda v: f.mul_small(v, b3)) if isinstance(b3, int) \
+        else (lambda v: m(b3, v))
     t0 = m(X1, X2)
     t1 = m(Y1, Y2)
     t2 = m(Z1, Z2)
@@ -54,10 +58,10 @@ def _padd_list(f: _ListField, X1, Y1, Z1, X2, Y2, Z2, b3):
     t4 = sub(m(add(Y1, Z1), add(Y2, Z2)), add(t1, t2))
     y3 = sub(m(add(X1, Z1), add(X2, Z2)), add(t0, t2))
     t0 = add(add(t0, t0), t0)
-    t2 = m(b3, t2)
+    t2 = mb3(t2)
     z3 = add(t1, t2)
     t1 = sub(t1, t2)
-    y3 = m(b3, y3)
+    y3 = mb3(y3)
     x3 = sub(m(t3, t1), m(t4, y3))
     y3 = add(m(t1, z3), m(y3, t0))
     z3 = add(m(z3, t4), m(t0, t3))
@@ -92,6 +96,7 @@ def make_suffix_fold(curve_name: str, K: int, C: int, G: int | None = None):
     eng = curve.fq.engine
     f = _ListField(eng)
     b3_np, one_np, nl = _kernel_consts(curve_name)
+    b3_int = _b3_small(curve)
     p32 = [int(v) for v in eng.p32]
     G = G or lane_group(C)
     assert C % G == 0 and G <= 1024
@@ -123,7 +128,8 @@ def make_suffix_fold(curve_name: str, K: int, C: int, G: int | None = None):
         pc = [jnp.full((G,), jnp.uint32(v)) for v in p32]
         yneg, _ = _sub_limbs(pc, yraw)
         y2 = [jnp.where(neg_y, a, b) for a, b in zip(yneg, yraw)]
-        b3 = [jnp.broadcast_to(consts_ref[0, i], (G,)) for i in range(nl)]
+        b3 = b3_int if b3_int is not None else [
+            jnp.broadcast_to(consts_ref[0, i], (G,)) for i in range(nl)]
         one = [jnp.broadcast_to(consts_ref[1, i], (G,)) for i in range(nl)]
         zero = [jnp.zeros((G,), jnp.uint32) for _ in range(nl)]
 

@@ -62,20 +62,47 @@ class _ListField:
         t = self.eng._comba16(_split16(a), _split16(b))
         return self.eng._redc16(t)
 
+    def mul_small(self, x, k: int):
+        """k*x (mod p) for a small signed python int k by double-and-add:
+        |k| <= ~64 costs a handful of mod-adds vs a full montmul. Used for
+        the b3 = 3b curve constant in the RCB15 formulas (b3 is 9/3/12/-3/
+        -51 on the supported curves)."""
+        assert k != 0
+        neg = k < 0
+        k = abs(k)
+        acc = x
+        for bit in bin(k)[3:]:
+            acc = self.add(acc, acc)
+            if bit == "1":
+                acc = self.add(acc, x)
+        if neg:
+            acc = self.sub([jnp.zeros_like(v) for v in x], acc)
+        return acc
+
+
+def _b3_small(curve) -> int | None:
+    """b3 as a small signed int if |b3 mod p| (centered) is tiny, else None."""
+    p = curve.fq.modulus
+    b = curve.b3 if curve.b3 < p // 2 else curve.b3 - p
+    return int(b) if abs(b) <= 1 << 20 else None
+
 
 def _madd_list(f: _ListField, X1, Y1, Z1, x2, y2, b3):
-    """Complete mixed add, RCB15 Alg 8 (a=0), on limb lists. 13 montmuls."""
+    """Complete mixed add, RCB15 Alg 8 (a=0), on limb lists. 13 montmuls,
+    or 11 + two mod-add chains when b3 is passed as a small python int."""
     m, add, sub = f.mul_mont, f.add, f.sub
+    mb3 = (lambda v: f.mul_small(v, b3)) if isinstance(b3, int) \
+        else (lambda v: m(b3, v))
     t0 = m(X1, x2)
     t1 = m(Y1, y2)
     t3 = sub(m(add(X1, Y1), add(x2, y2)), add(t0, t1))
     t4 = add(m(y2, Z1), Y1)
     y3 = add(m(x2, Z1), X1)
     t0 = add(add(t0, t0), t0)
-    t2 = m(b3, Z1)
+    t2 = mb3(Z1)
     z3 = add(t1, t2)
     t1 = sub(t1, t2)
-    y3 = m(b3, y3)
+    y3 = mb3(y3)
     x3 = sub(m(t3, t1), m(t4, y3))
     y3 = add(m(t1, z3), m(y3, t0))
     z3 = add(m(z3, t4), m(t0, t3))
