@@ -8,7 +8,8 @@ oracle (the points are a repeated real curve point, so the result must
 equal (sum of scalars) * P — the bench doubles as a correctness gate).
 
 Env knobs: BENCH_LOGN (default 26 / 24 for msm), BENCH_BATCH,
-BENCH_KERNEL=ntt|msm, BENCH_NTT_BACKEND=auto|xla|pallas.
+BENCH_KERNEL=ntt|msm, BENCH_NTT_BACKEND=auto|xla|pallas,
+BENCH_MSM_PIPELINE=v3|v2 (prefix-scan vs suffix-fold).
 """
 
 import json
@@ -22,8 +23,12 @@ def _bench_msm() -> None:
     import numpy as np
 
     from icicle_tpu.curves.params import get_curve
-    from icicle_tpu.ops.msm_tpu2 import msm_tpu2
     from tests.ec_ref import ec_mul
+
+    if os.environ.get("BENCH_MSM_PIPELINE", "v3") == "v2":
+        from icicle_tpu.ops.msm_tpu2 import msm_tpu2 as msm_run
+    else:
+        from icicle_tpu.ops.msm_tpu3 import msm_tpu3 as msm_run
 
     curve = get_curve("bn254")
     fr, fq = curve.fr, curve.fq
@@ -45,13 +50,13 @@ def _bench_msm() -> None:
     py = np.broadcast_to(np.asarray(fq.from_ints([P[1]]))[0], (n, 8)).copy()
 
     t0 = time.perf_counter()
-    res = msm_tpu2("bn254", scal, px, py, backend="pallas")
+    res = msm_run("bn254", scal, px, py, backend="pallas")
     warm = time.perf_counter() - t0
 
     iters = 2 if size_log <= 20 else 1
     t0 = time.perf_counter()
     for _ in range(iters):
-        res = msm_tpu2("bn254", scal, px, py, backend="pallas")
+        res = msm_run("bn254", scal, px, py, backend="pallas")
     dt = (time.perf_counter() - t0) / iters
     rate = n / dt
 

@@ -227,6 +227,56 @@ class BigField:
         use_d = (W > 0) | (borrow == 0)
         return _select(use_d, d, res32)
 
+    def _mont_fused16(self, a16, b16):
+        """Fused comba product + product-scanning Montgomery REDC.
+
+        Same result as ``_redc16(_comba16(a, b))`` but ~17% fewer primitives:
+        the full product's (lo, hi) column sums are consumed by REDC directly
+        (no intermediate carry-normalization pass), and the reduction injects
+        ``m_i * p`` into the columns instead of rippling a per-word carry
+        chain.  Exactness: every column holds <= 2*nh 16-bit terms
+        (< 2^21) plus a < 2^17 carry, so all u32 intermediates are exact.
+        """
+        nh = self.nh
+        shape = jnp.broadcast_shapes(a16[0].shape, b16[0].shape)
+        zero = jnp.zeros(shape, dtype=_U)
+        ncols = 2 * nh - 1
+        cols_lo = [zero] * ncols
+        cols_hi = [zero] * ncols
+        for i in range(nh):
+            for j in range(nh):
+                prod = a16[i] * b16[j]
+                k = i + j
+                cols_lo[k] = cols_lo[k] + (prod & MASK16)
+                cols_hi[k] = cols_hi[k] + (prod >> 16)
+        carry = zero
+        for i in range(nh):
+            v = cols_lo[i] + carry
+            if i > 0:
+                v = v + cols_hi[i - 1]
+            m = (v * self.inv16) & MASK16
+            prod0 = m * self.p16[0]
+            v = v + (prod0 & MASK16)      # low 16 bits cancel exactly
+            carry = (v >> 16) + (prod0 >> 16)
+            for j in range(1, nh):
+                prod = m * self.p16[j]
+                k = i + j
+                cols_lo[k] = cols_lo[k] + (prod & MASK16)
+                cols_hi[k] = cols_hi[k] + (prod >> 16)
+        t = []
+        for k in range(nh, ncols):
+            v = cols_lo[k] + carry + cols_hi[k - 1]
+            t.append(v & MASK16)
+            carry = v >> 16
+        v = cols_hi[ncols - 1] + carry
+        t.append(v & MASK16)
+        W = v >> 16
+        res32 = _join32(t)
+        d, borrow = _sub_limbs(
+            res32, [jnp.broadcast_to(x, res32[0].shape) for x in self.p32])
+        use_d = (W > 0) | (borrow == 0)
+        return _select(use_d, d, res32)
+
     # -- loop-based SOS Montgomery (small XLA graphs) --------------------------
     #
     # The unrolled CIOS above emits O((2L)^2) primitives per multiply — fine

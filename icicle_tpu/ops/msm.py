@@ -381,8 +381,13 @@ def _msm_affine_pallas(curve_name, scalars, points_x, points_y, cfg):
             or cfg.are_scalars_montgomery_form
             or cfg.are_points_montgomery_form):
         return _msm_affine_xla(curve_name, scalars, points_x, points_y, cfg)
-    from icicle_tpu.ops.msm_tpu2 import msm_tpu2
-    return msm_tpu2(curve_name, scalars, points_x, points_y,
+    import os
+    if os.environ.get("ICICLE_TPU_MSM_PIPELINE", "v3") == "v2":
+        from icicle_tpu.ops.msm_tpu2 import msm_tpu2
+        return msm_tpu2(curve_name, scalars, points_x, points_y,
+                        c=cfg.c or None)
+    from icicle_tpu.ops.msm_tpu3 import msm_tpu3
+    return msm_tpu3(curve_name, scalars, points_x, points_y,
                     c=cfg.c or None)
 
 

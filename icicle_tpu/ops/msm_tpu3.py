@@ -88,7 +88,8 @@ def _join_u32(cols):
 
 @functools.lru_cache(maxsize=None)
 def _jitted_pipeline3(curve_name: str, c: int, nbits: int, n_pad: int, T: int,
-                      tiles: int, wg: int, backend: str):
+                      tiles: int, wg: int, backend: str,
+                      engine: str = "u32"):
     from icicle_tpu.curves.group import get_group, Projective
     from icicle_tpu.math.bigint import mul_mode
     import contextlib
@@ -106,10 +107,25 @@ def _jitted_pipeline3(curve_name: str, c: int, nbits: int, n_pad: int, T: int,
     G = wg * B_g
     ng_chunks = C // G
 
-    if backend == "pallas":
-        scan = make_prefix_scan(curve_name, K, C, G)
+    if engine == "r12":
+        from icicle_tpu.pallas.msm_scan_r12 import (
+            make_prefix_scan_r12, make_prefix_scan_r12_xla)
+        from icicle_tpu.math.radix12 import Radix12
+        rbits = Radix12(fq.modulus).rbits
+        # extracted E-stream values are X*2^rbits in [0, 4p); one montmul by
+        # 2^(64*nl - rbits) maps them back into the 2^(32*nl) domain
+        unshift = np.asarray(fq.params.const_limbs32(
+            (1 << (64 * nl - rbits)) % fq.modulus), dtype=np.uint32)
+        if backend == "pallas":
+            scan = make_prefix_scan_r12(curve_name, K, C, G)
+        else:
+            scan = make_prefix_scan_r12_xla(curve_name, K, C)
     else:
-        scan = make_prefix_scan_xla(curve_name, K, C)
+        unshift = None
+        if backend == "pallas":
+            scan = make_prefix_scan(curve_name, K, C, G)
+        else:
+            scan = make_prefix_scan_xla(curve_name, K, C)
 
     group = get_group(curve_name)
     p32 = [np.uint32(v) for v in fq.engine.p32]
@@ -179,7 +195,15 @@ def _jitted_pipeline3(curve_name: str, c: int, nbits: int, n_pad: int, T: int,
             out = jax.lax.dot_general(
                 oh, eb, (((1,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.int32)         # (G, M, 12L)
-            return None, _join_u32(out)                   # (G, M, 3L)
+            bk = _join_u32(out)                           # (G, M, 3L)
+            if unshift is not None:
+                # r12 engine: domain-shift X*2^rbits (< 4p) -> X*2^(32L),
+                # canonical. CIOS tolerates a < 4p since 4p < 2^(32L).
+                sh = jnp.asarray(unshift)
+                bk = jnp.concatenate(
+                    [fq.mul_mont(bk[..., i * nl:(i + 1) * nl], sh)
+                     for i in range(3)], axis=-1)
+            return None, bk
 
         _, buckets = jax.lax.scan(extract_chunk, None, (ohm, estream))
         buckets = buckets.reshape(tiles, wg, M, 3 * nl)
@@ -281,14 +305,24 @@ def _sub_mod_limbs(p_row, y):
 
 
 @functools.lru_cache(maxsize=None)
-def _prep_fn3(curve_name: str, n_pad: int, tiles: int, T: int):
+def _prep_fn3(curve_name: str, n_pad: int, tiles: int, T: int,
+              engine: str = "u32"):
     """(L, n_pad) canonical limb-major coords -> (tiles, T, 8L) int8
-    Montgomery bytes (x||y), chunked conversion as v2."""
+    Montgomery bytes (x||y), chunked conversion as v2. engine="r12" lifts
+    into the radix-12 kernel's 2^rbits Montgomery domain instead."""
     fq = get_curve(curve_name).fq
     nl = fq.nlimbs
     ch = T if tiles < 64 else 64 * T
     n_chunks = n_pad // ch
     assert n_chunks * ch == n_pad
+    if engine == "r12":
+        from icicle_tpu.math.radix12 import Radix12
+        rbits = Radix12(fq.modulus).rbits
+        shift = jnp.asarray(np.asarray(
+            fq.params.const_limbs32((1 << rbits) % fq.modulus),
+            dtype=np.uint32))
+    else:
+        shift = None
 
     @jax.jit
     def prep(px_t, py_t):
@@ -296,6 +330,9 @@ def _prep_fn3(curve_name: str, n_pad: int, tiles: int, T: int):
             x_t, y_t = cols
             xm = fq.to_mont(x_t.T)
             ym = fq.to_mont(y_t.T)
+            if shift is not None:
+                xm = fq.mul_mont(xm, shift)
+                ym = fq.mul_mont(ym, shift)
             limbs = jnp.concatenate([xm, ym], axis=-1)    # (ch, 2L)
             b = jnp.stack([limbs & 0xFF, (limbs >> 8) & 0xFF,
                            (limbs >> 16) & 0xFF, (limbs >> 24) & 0xFF],
@@ -312,13 +349,25 @@ def _prep_fn3(curve_name: str, n_pad: int, tiles: int, T: int):
 
 def msm_tpu3(curve_name: str, scalars, points_x, points_y,
              c: int | None = None, T: int | None = None,
-             backend: str = "pallas"):
+             backend: str = "pallas", engine: str | None = None):
     """Prefix-scan MSM. scalars (N, Ls) canonical u32 limbs; points canonical
     affine (N, L). Returns canonical affine (x, y) python ints ((0,0) = INF).
 
     backend: "pallas" (Mosaic kernel) or "xla" (lax.scan twin, CPU tests).
+    engine: in-kernel field arithmetic — "u32" (16-bit split comba/CIOS) or
+    "r12" (signed radix-2^12, pallas/msm_scan_r12.py); default from
+    ICICLE_TPU_MSM_ENGINE, else "u32".
     """
+    import os
+    if engine is None:
+        engine = os.environ.get("ICICLE_TPU_MSM_ENGINE", "u32")
     curve = get_curve(curve_name)
+    if engine == "r12":
+        from icicle_tpu.math.radix12 import Radix12
+        try:
+            Radix12(curve.fq.modulus)
+        except OverflowError:
+            engine = "u32"   # field too large for signed-i32 radix-12 columns
     fq, fr = curve.fq, curve.fr
     n = scalars.shape[0]
     nbits = fr.modulus.bit_length()
@@ -333,10 +382,10 @@ def msm_tpu3(curve_name: str, scalars, points_x, points_y,
     scal_t = pad_t(scalars, scalars.shape[1])
     px_t = pad_t(points_x, fq.nlimbs)
     py_t = pad_t(points_y, fq.nlimbs)
-    pts_u8 = _prep_fn3(curve_name, n_pad, tiles, T)(px_t, py_t)
+    pts_u8 = _prep_fn3(curve_name, n_pad, tiles, T, engine)(px_t, py_t)
 
     run = _jitted_pipeline3(curve_name, c, nbits, n_pad, T, tiles, wg,
-                            backend)
+                            backend, engine)
     wsums = np.asarray(run(scal_t, pts_u8))               # (W, 3, L)
 
     p = fq.modulus

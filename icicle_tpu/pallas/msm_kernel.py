@@ -59,8 +59,7 @@ class _ListField:
         return _select(borrow > 0, dp, d)
 
     def mul_mont(self, a, b):
-        t = self.eng._comba16(_split16(a), _split16(b))
-        return self.eng._redc16(t)
+        return self.eng._mont_fused16(_split16(a), _split16(b))
 
     def mul_small(self, x, k: int):
         """k*x (mod p) for a small signed python int k by double-and-add:

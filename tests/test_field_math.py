@@ -101,3 +101,27 @@ def test_mul_mont_hot_path(rng):
         got = f.to_ints(f.mul_mont(a, c_mont))
         for i in range(16):
             assert got[i] == (a_i[i] * c_i) % f.modulus
+
+
+@pytest.mark.parametrize("name", ["bn254_base", "bls12_381_base",
+                                  "stark252", "bw6_761_base"])
+def test_mont_fused16_matches_unfused(name, rng):
+    """_mont_fused16 (fused comba+REDC, pallas msm kernel hot path) must be
+    bit-identical to _redc16(_comba16(...)) for Montgomery-domain inputs,
+    including 0 / 1 / p-1 edges."""
+    import jax.numpy as jnp
+    from icicle_tpu.math.bigint import _split16, unstack, stack
+
+    f = get_field(name)
+    eng = f.engine
+    a_i = [int.from_bytes(rng.bytes(128), "little") % f.modulus
+           for _ in range(32)]
+    b_i = [int.from_bytes(rng.bytes(128), "little") % f.modulus
+           for _ in range(32)]
+    a_i[:4] = [0, 1, f.modulus - 1, f.modulus - 1]
+    b_i[:4] = [f.modulus - 1, 0, f.modulus - 1, 1]
+    a16 = _split16(unstack(f.from_ints(a_i)))
+    b16 = _split16(unstack(f.from_ints(b_i)))
+    want = np.asarray(stack(eng._redc16(eng._comba16(a16, b16))))
+    got = np.asarray(stack(eng._mont_fused16(a16, b16)))
+    assert np.array_equal(got, want)
