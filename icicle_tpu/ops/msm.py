@@ -374,21 +374,23 @@ def _msm_affine_xla(curve_name, scalars, points_x, points_y, cfg):
 
 
 def _msm_affine_pallas(curve_name, scalars, points_x, points_y, cfg):
-    # the suffix-fold pipeline serves the big single-MSM G1 case; everything
-    # else (G2, batch, precompute, montgomery-form inputs) takes the generic
-    # path
-    if (cfg.g2 or cfg.precompute_factor > 1 or scalars.ndim == 3
+    # the prefix-scan pipeline serves the big single-MSM G1 case (plain or
+    # power-of-two precompute with an explicit c); everything else (G2,
+    # batch, montgomery-form inputs) takes the generic path
+    nu = cfg.precompute_factor
+    v3_pre = nu > 1 and cfg.c and nu & (nu - 1) == 0
+    if (cfg.g2 or (nu > 1 and not v3_pre) or scalars.ndim == 3
             or cfg.are_scalars_montgomery_form
             or cfg.are_points_montgomery_form):
         return _msm_affine_xla(curve_name, scalars, points_x, points_y, cfg)
     import os
-    if os.environ.get("ICICLE_TPU_MSM_PIPELINE", "v3") == "v2":
+    if os.environ.get("ICICLE_TPU_MSM_PIPELINE", "v3") == "v2" and nu == 1:
         from icicle_tpu.ops.msm_tpu2 import msm_tpu2
         return msm_tpu2(curve_name, scalars, points_x, points_y,
                         c=cfg.c or None)
     from icicle_tpu.ops.msm_tpu3 import msm_tpu3
     return msm_tpu3(curve_name, scalars, points_x, points_y,
-                    c=cfg.c or None)
+                    c=cfg.c or None, precompute_factor=nu)
 
 
 _dispatcher.register_impl("msm", "xla", _msm_affine_xla)

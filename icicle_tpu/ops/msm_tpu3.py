@@ -89,7 +89,7 @@ def _join_u32(cols):
 @functools.lru_cache(maxsize=None)
 def _jitted_pipeline3(curve_name: str, c: int, nbits: int, n_pad: int, T: int,
                       tiles: int, wg: int, backend: str,
-                      engine: str = "u32"):
+                      engine: str = "u32", nu: int = 1):
     from icicle_tpu.curves.group import get_group, Projective
     from icicle_tpu.math.bigint import mul_mode
     import contextlib
@@ -100,6 +100,12 @@ def _jitted_pipeline3(curve_name: str, c: int, nbits: int, n_pad: int, T: int,
     M = 1 << (c - 1)
     K = T
     n_windows = (nbits + c) // c + 1
+    if nu > 1:
+        # precomputed bases: windows merge into G = max(G0, W-(nu-1)*G0)
+        # groups of stride G0 (reference msm.h:23-34; ops/msm.py remap)
+        from icicle_tpu.ops.msm import precompute_shift
+        G0_pre = precompute_shift(nbits, c, nu) // c
+        n_windows = max(G0_pre, n_windows - (nu - 1) * G0_pre)
     kmax = M
     C = wg * tiles
     b = max(1, 1024 // wg)
@@ -256,7 +262,11 @@ def _jitted_pipeline3(curve_name: str, c: int, nbits: int, n_pad: int, T: int,
         mm = (mul_mode("unrolled") if backend == "pallas"
               else contextlib.nullcontext())
         with mm:
-            digits = _signed_digits_t(scalars_t, c, nbits)    # (W, n_pad)
+            digits = _signed_digits_t(scalars_t, c, nbits)    # (W, n_scal)
+            if nu > 1:
+                from icicle_tpu.ops.msm import _precompute_digit_remap
+                digits, _ = _precompute_digit_remap(
+                    digits, nu, n_pad // nu, G0_pre)          # (G, n_pad)
             if w_pad != n_windows:
                 digits = jnp.concatenate(
                     [digits, jnp.zeros((w_pad - n_windows, digits.shape[1]),
@@ -349,7 +359,8 @@ def _prep_fn3(curve_name: str, n_pad: int, tiles: int, T: int,
 
 def msm_tpu3(curve_name: str, scalars, points_x, points_y,
              c: int | None = None, T: int | None = None,
-             backend: str = "pallas", engine: str | None = None):
+             backend: str = "pallas", engine: str | None = None,
+             precompute_factor: int = 1):
     """Prefix-scan MSM. scalars (N, Ls) canonical u32 limbs; points canonical
     affine (N, L). Returns canonical affine (x, y) python ints ((0,0) = INF).
 
@@ -357,6 +368,9 @@ def msm_tpu3(curve_name: str, scalars, points_x, points_y,
     engine: in-kernel field arithmetic — "u32" (16-bit split comba/CIOS) or
     "r12" (signed radix-2^12, pallas/msm_scan_r12.py); default from
     ICICLE_TPU_MSM_ENGINE, else "u32".
+    precompute_factor: nu > 1 means points are the interleaved (nu*N, L)
+    output of msm_precompute_bases with the SAME c (which is then required);
+    cuts window count (and bucket/extraction work) ~nu-fold.
     """
     import os
     if engine is None:
@@ -369,23 +383,35 @@ def msm_tpu3(curve_name: str, scalars, points_x, points_y,
         except OverflowError:
             engine = "u32"   # field too large for signed-i32 radix-12 columns
     fq, fr = curve.fq, curve.fr
-    n = scalars.shape[0]
+    nu = precompute_factor
+    n = points_x.shape[0]
     nbits = fr.modulus.bit_length()
+    if nu > 1:
+        assert c, "precomputed msm_tpu3 requires the bases' explicit c"
+        assert nu & (nu - 1) == 0, "precompute_factor must be a power of two"
+        assert n == nu * scalars.shape[0], \
+            "points must be msm_precompute_bases output (nu*N rows)"
     c, M, T, tiles, n_windows, wg = _plan3(n, c, nbits, T)
     n_pad = tiles * T
+    if nu > 1:
+        assert n_pad % nu == 0
+        from icicle_tpu.ops.msm import precompute_shift
+        G0 = precompute_shift(nbits, c, nu) // c
+        n_windows = max(G0, n_windows - (nu - 1) * G0)
 
-    def pad_t(a, width):
-        out = np.zeros((width, n_pad), dtype=np.uint32)
-        out[:, :n] = np.asarray(a).T
+    def pad_t(a, width, cols):
+        out = np.zeros((width, cols), dtype=np.uint32)
+        arr = np.asarray(a)
+        out[:, :arr.shape[0]] = arr.T
         return out
 
-    scal_t = pad_t(scalars, scalars.shape[1])
-    px_t = pad_t(points_x, fq.nlimbs)
-    py_t = pad_t(points_y, fq.nlimbs)
+    scal_t = pad_t(scalars, scalars.shape[1], n_pad // nu)
+    px_t = pad_t(points_x, fq.nlimbs, n_pad)
+    py_t = pad_t(points_y, fq.nlimbs, n_pad)
     pts_u8 = _prep_fn3(curve_name, n_pad, tiles, T, engine)(px_t, py_t)
 
     run = _jitted_pipeline3(curve_name, c, nbits, n_pad, T, tiles, wg,
-                            backend, engine)
+                            backend, engine, nu)
     wsums = np.asarray(run(scal_t, pts_u8))               # (W, 3, L)
 
     p = fq.modulus

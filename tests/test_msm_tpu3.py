@@ -108,3 +108,21 @@ def test_madd_list_small_b3_matches_mont_b3():
     for u, v in zip(a, b):
         for x, y in zip(u, v):
             assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
+@pytest.mark.parametrize("nu", [2, 4])
+def test_msm_tpu3_precompute_vs_oracle(nu):
+    """precompute_factor route: v3 over msm_precompute_bases output must
+    equal the oracle (reference msm.h:23-34 precompute semantics)."""
+    from icicle_tpu.ops.msm import msm_precompute_bases, MSMConfig
+
+    c = 6
+    curve, fr, fq, mod, pts, scalars = _setup(48, 21 + nu)
+    px = fq.from_ints([p[0] for p in pts])
+    py = fq.from_ints([p[1] for p in pts])
+    ox, oy = msm_precompute_bases("bn254", px, py,
+                                  MSMConfig(c=c, precompute_factor=nu))
+    got = msm_tpu3("bn254", np.asarray(fr.from_ints(scalars)), ox, oy,
+                   backend="xla", c=c, T=16, precompute_factor=nu)
+    want = msm_ref(scalars, pts, mod)
+    assert got == (want if want is not INF else (0, 0))
