@@ -2,10 +2,17 @@
 CPU impl reuses the NTT skeleton templated over point ops, cpu_ecntt.cpp).
 
 Radix-2 DIT over Projective point arrays: the butterfly multiplies the odd
-lane by a twiddle SCALAR (a full scalar multiplication, 2*nbits point ops) and
-adds/subs. Twiddle scalars vary per butterfly lane, so the scalar-mul runs as
-one lax.scan over bit rows with per-lane bit selects — all point math stays
+lane by a twiddle SCALAR (a full scalar multiplication) and adds/subs.
+Twiddle scalars vary per butterfly lane, so the scalar-mul runs as one
+lax.scan over digit rows with per-lane table selects — all point math stays
 vectorized over n/2 lanes.
+
+Unlike the reference's bit-serial double-and-add, the ladder here is
+2^4-ary: per 4-bit digit row it does 4 doublings + ONE table add (the
+16-entry i*P table costs 15 adds once per stage), ~1.8x fewer montmuls
+than bit-serial (256 dbl + 79 add vs 254 dbl + 254 add per 254-bit
+scalar). Table selection is a pselect tree — selects are ~100x cheaper
+than point adds on the VPU.
 """
 
 from __future__ import annotations
@@ -21,38 +28,50 @@ from icicle_tpu.curves.group import get_group, Group, Projective, pselect
 from icicle_tpu.ops.vec_ops import bit_reverse_indices
 from icicle_tpu.runtime.config import NTTDir
 
+_WDIG = 4  # ladder digit width (bits)
 
-def scalar_mul_vec(group: Group, points: Projective, bits) -> Projective:
-    """Per-lane scalar multiplication.
 
-    bits: (nbits, lanes) uint32 (MSB first), one scalar per point lane.
+def scalar_mul_vec(group: Group, points: Projective, digits) -> Projective:
+    """Per-lane scalar multiplication, 2^_WDIG-ary windowed ladder.
+
+    digits: (ndig, lanes) uint32 (MSB first), base-2^_WDIG digits, one
+    scalar per point lane.
     """
-    def body(acc, bit_row):
-        acc = group.dbl(acc)
-        added = group.add(acc, points)
-        return pselect(bit_row.astype(bool), added, acc), None
-
     lanes = points.x.shape[:-1]
-    out, _ = jax.lax.scan(body, group.identity(lanes), bits)
+    table = [group.identity(lanes)]
+    for _ in range(1, 1 << _WDIG):
+        table.append(group.add(table[-1], points))
+
+    def body(acc, dig_row):
+        for _ in range(_WDIG):
+            acc = group.dbl(acc)
+        sel = table[0]
+        for i in range(1, 1 << _WDIG):
+            sel = pselect(dig_row == i, table[i], sel)
+        return group.add(acc, sel), None
+
+    out, _ = jax.lax.scan(body, group.identity(lanes), digits)
     return out
 
 
-def _twiddle_bits(f_modulus: int, w: int, count: int, nbits: int) -> np.ndarray:
-    """(nbits, count) bit rows (MSB first) of w^0..w^(count-1) mod modulus."""
-    vals = []
+def _ndig(nbits: int) -> int:
+    return -(-nbits // _WDIG)
+
+
+def _twiddle_digits(f_modulus: int, w: int, count: int, nbits: int) -> np.ndarray:
+    """(ndig, count) base-2^_WDIG digit rows (MSB first) of w^0..w^(count-1)."""
+    nd = _ndig(nbits)
+    out = np.zeros((nd, count), dtype=np.uint32)
     cur = 1
-    for _ in range(count):
-        vals.append(cur)
+    for i in range(count):
+        for d in range(nd):
+            out[nd - 1 - d, i] = (cur >> (_WDIG * d)) & ((1 << _WDIG) - 1)
         cur = (cur * w) % f_modulus
-    out = np.zeros((nbits, count), dtype=np.uint32)
-    for i, v in enumerate(vals):
-        for b in range(nbits):
-            out[nbits - 1 - b, i] = (v >> b) & 1
     return out
 
 
 @functools.lru_cache(maxsize=None)
-def _stage_bits(curve_name: str, logn: int, inverse: bool):
+def _stage_digits(curve_name: str, logn: int, inverse: bool):
     curve = get_curve(curve_name)
     p = curve.fr.modulus
     w = curve.fr.params.omega(logn)
@@ -66,10 +85,10 @@ def _stage_bits(curve_name: str, logn: int, inverse: bool):
         m = 1 << (s - 1)
         step = n >> s
         ws = pow(w, step, p)
-        full = _twiddle_bits(p, ws, m, nbits)      # (nbits, m)
+        full = _twiddle_digits(p, ws, m, nbits)    # (ndig, m)
         reps = (n // 2) // m
-        stages.append(np.tile(full, (1, reps)))    # (nbits, n/2)
-    return jnp.asarray(np.stack(stages)), nbits    # (logn, nbits, n/2)
+        stages.append(np.tile(full, (1, reps)))    # (ndig, n/2)
+    return jnp.asarray(np.stack(stages)), nbits    # (logn, ndig, n/2)
 
 
 def ecntt(curve_name: str, points: Projective, dir: NTTDir = NTTDir.FORWARD,
@@ -80,13 +99,12 @@ def ecntt(curve_name: str, points: Projective, dir: NTTDir = NTTDir.FORWARD,
     n = points.x.shape[0]
     logn = logn or (n.bit_length() - 1)
     assert 1 << logn == n
-    stages, nbits = _stage_bits(curve_name, logn, dir == NTTDir.INVERSE)
+    stages, nbits = _stage_digits(curve_name, logn, dir == NTTDir.INVERSE)
 
     # bit-reverse input order (DIT)
     rev = jnp.asarray(bit_reverse_indices(n))
     pts = jax.tree_util.tree_map(lambda a: a[rev], points)
 
-    half = n // 2
     for s in range(1, logn + 1):
         m = 1 << (s - 1)
         # gather even/odd lanes of each block
@@ -111,10 +129,11 @@ def ecntt(curve_name: str, points: Projective, dir: NTTDir = NTTDir.FORWARD,
     if dir == NTTDir.INVERSE:
         p = curve.fr.modulus
         n_inv = pow(n, -1, p)
-        bits = np.zeros((nbits, n), dtype=np.uint32)
-        for b in range(nbits):
-            bits[nbits - 1 - b, :] = (n_inv >> b) & 1
-        pts = scalar_mul_vec(group, pts, jnp.asarray(bits))
+        nd = _ndig(nbits)
+        digs = np.zeros((nd, n), dtype=np.uint32)
+        for d in range(nd):
+            digs[nd - 1 - d, :] = (n_inv >> (_WDIG * d)) & ((1 << _WDIG) - 1)
+        pts = scalar_mul_vec(group, pts, jnp.asarray(digs))
     return pts
 
 
