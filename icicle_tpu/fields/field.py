@@ -177,6 +177,43 @@ class Field:
             out[i] = v
         return out.reshape(a.shape[:-1])
 
+    def to_bytes_le(self, arr) -> np.ndarray:
+        """Element tensor -> (..., nbytes) uint8 little-endian byte rows
+        (reference BigNum::to_bytes_le, wrappers/rust/icicle-core/src/bignum.rs)."""
+        a = np.ascontiguousarray(np.asarray(arr), dtype=np.uint32)
+        if self.limb_shape == ():
+            a = a[..., None]
+        return a.view("<u4").view(np.uint8).reshape(a.shape[:-1] + (-1,))
+
+    def from_bytes_le(self, data) -> jnp.ndarray:
+        """(..., k) uint8 LE bytes -> element tensor. Zero-pads short rows and
+        drops excess bytes, matching BigNum::from_bytes_le semantics."""
+        b = np.asarray(data, dtype=np.uint8)
+        if b.ndim == 1:
+            b = b[None]
+            squeeze = True
+        else:
+            squeeze = False
+        nl = self.limb_shape[0] if self.limb_shape else 1
+        nbytes = 4 * nl
+        if b.shape[-1] < nbytes:
+            pad = np.zeros(b.shape[:-1] + (nbytes - b.shape[-1],), np.uint8)
+            b = np.concatenate([b, pad], axis=-1)
+        b = np.ascontiguousarray(b[..., :nbytes])
+        limbs = b.view("<u4").astype(np.uint32).reshape(b.shape[:-1] + (nl,))
+        if self.limb_shape == ():
+            limbs = limbs[..., 0]
+        if squeeze:
+            limbs = limbs[0]
+        return jnp.asarray(limbs)
+
+    def from_hex(self, s: str) -> jnp.ndarray:
+        """Big-endian hex string (with/without 0x) -> single element
+        (reference BigNum::from_hex)."""
+        s = s[2:] if s.startswith(("0x", "0X")) else s
+        raw = bytes.fromhex(s.zfill(len(s) + (len(s) & 1)))
+        return self.from_bytes_le(np.frombuffer(raw[::-1], dtype=np.uint8))
+
     def element_shape(self, batch_shape=()) -> tuple:
         return tuple(batch_shape) + self.limb_shape
 

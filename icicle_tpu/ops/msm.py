@@ -50,8 +50,15 @@ class MSMConfig:
     g2: bool = False               # operate on the G2 group (msm.h G2 variants)
 
 
-def _auto_c(n: int) -> int:
-    """Pick window bits minimizing W*(n + 4*2^(c-1)) with a graph-size cap."""
+def _auto_c(n: int, curve_name: str | None = None) -> int:
+    """Window-bits choice: measured tuning table first (reference
+    decision-tree analog, ops/msm_tuning.py), else the closed-form model
+    minimizing W*(n + 4*2^(c-1)) with a graph-size cap."""
+    if curve_name is not None:
+        from icicle_tpu.ops.msm_tuning import tuned_params
+        tp = tuned_params("xla", curve_name, n)
+        if tp and tp.get("c"):
+            return tp["c"]
     best_c, best_cost = 1, float("inf")
     for c in range(2, 17):
         w = (255 + c) // c + 1
@@ -245,7 +252,7 @@ def msm_precompute_bases(curve_name: str, points_x, points_y,
     fq = group.coord_field
     n = points_x.shape[0]
     nbits = cfg.bitsize or curve.fr.modulus.bit_length()
-    c = cfg.c or _auto_c(n)
+    c = cfg.c or _auto_c(n, curve_name)
     shift = precompute_shift(nbits, c, nu)
 
     if nu == 1:
@@ -344,7 +351,7 @@ def msm(curve_name: str, scalars, points_x, points_y,
             lambda *xs: jnp.stack(xs, axis=0), *results)
 
     n = scalars.shape[0]
-    c = cfg.c or _auto_c(n)
+    c = cfg.c or _auto_c(n, curve_name)
     nbits = cfg.bitsize or curve.fr.modulus.bit_length()
     nu = cfg.precompute_factor
     if nu > 1:

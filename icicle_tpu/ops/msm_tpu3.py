@@ -386,6 +386,13 @@ def msm_tpu3(curve_name: str, scalars, points_x, points_y,
     nu = precompute_factor
     n = points_x.shape[0]
     nbits = fr.modulus.bit_length()
+    if c is None or T is None:
+        # measured-table lookup (reference decision-tree analog, msm_tuning)
+        from icicle_tpu.ops.msm_tuning import tuned_params
+        tp = tuned_params(f"v3:{engine}", curve_name, n, nu)
+        if tp:
+            c = c or tp.get("c")
+            T = T or tp.get("T")
     if nu > 1:
         assert c, "precomputed msm_tpu3 requires the bases' explicit c"
         assert nu & (nu - 1) == 0, "precompute_factor must be a power of two"
