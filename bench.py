@@ -9,7 +9,10 @@ equal (sum of scalars) * P — the bench doubles as a correctness gate).
 
 Env knobs: BENCH_LOGN (default 26 / 24 for msm), BENCH_BATCH,
 BENCH_KERNEL=ntt|msm, BENCH_NTT_BACKEND=auto|xla|pallas,
-BENCH_MSM_PIPELINE=v3|v2 (prefix-scan vs suffix-fold).
+BENCH_MSM_PIPELINE=v3|v2 (prefix-scan vs suffix-fold),
+BENCH_MSM_NU=1|2|4|8 (precompute_factor; bases built by
+msm_precompute_bases outside the timed region, v3 only),
+BENCH_MSM_C (explicit window bits; required when BENCH_MSM_NU>1).
 """
 
 import json
@@ -49,14 +52,28 @@ def _bench_msm() -> None:
     px = np.broadcast_to(np.asarray(fq.from_ints([P[0]]))[0], (n, 8)).copy()
     py = np.broadcast_to(np.asarray(fq.from_ints([P[1]]))[0], (n, 8)).copy()
 
+    nu = int(os.environ.get("BENCH_MSM_NU", "1"))
+    c = int(os.environ.get("BENCH_MSM_C", "0")) or None
+    kw = {"backend": "pallas", "c": c}
+    if nu > 1:
+        # precompute is setup, not MSM work (reference perf tables also
+        # exclude it); requires the v3 pipeline + an explicit c
+        from icicle_tpu.ops.msm import msm_precompute_bases, MSMConfig
+        assert c, "BENCH_MSM_NU>1 requires BENCH_MSM_C"
+        assert os.environ.get("BENCH_MSM_PIPELINE", "v3") == "v3", \
+            "precompute bench path is v3-only"
+        px, py = msm_precompute_bases(
+            "bn254", px, py, MSMConfig(c=c, precompute_factor=nu))
+        kw["precompute_factor"] = nu
+
     t0 = time.perf_counter()
-    res = msm_run("bn254", scal, px, py, backend="pallas")
+    res = msm_run("bn254", scal, px, py, **kw)
     warm = time.perf_counter() - t0
 
     iters = 2 if size_log <= 20 else 1
     t0 = time.perf_counter()
     for _ in range(iters):
-        res = msm_run("bn254", scal, px, py, backend="pallas")
+        res = msm_run("bn254", scal, px, py, **kw)
     dt = (time.perf_counter() - t0) / iters
     rate = n / dt
 

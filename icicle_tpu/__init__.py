@@ -37,9 +37,11 @@ from icicle_tpu.runtime.config import (  # noqa: F401,E402
 )
 from icicle_tpu.runtime import registry as _registry  # noqa: F401,E402
 # registers every frontend op with the dispatcher (reference REGISTER_* analog)
+from icicle_tpu.utils.pipeline import stream_map, stream_reduce  # noqa: F401,E402
 
 __all__ = [
     "get_field", "field_names", "get_ext_field",
     "get_curve", "curve_names", "get_group", "Projective", "Affine",
     "NTTConfig", "NTTDir", "Ordering", "VecOpsConfig", "MerkleTreeConfig",
+    "stream_map", "stream_reduce",
 ]

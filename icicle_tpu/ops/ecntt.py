@@ -26,7 +26,8 @@ import jax.numpy as jnp
 from icicle_tpu.curves.params import get_curve
 from icicle_tpu.curves.group import get_group, Group, Projective, pselect
 from icicle_tpu.ops.vec_ops import bit_reverse_indices
-from icicle_tpu.runtime.config import NTTDir
+from icicle_tpu.runtime.config import NTTDir, NTTConfig, Ordering
+from icicle_tpu.runtime.errors import IcicleError, check
 
 _WDIG = 4  # ladder digit width (bits)
 
@@ -36,21 +37,35 @@ def scalar_mul_vec(group: Group, points: Projective, digits) -> Projective:
 
     digits: (ndig, lanes) uint32 (MSB first), base-2^_WDIG digits, one
     scalar per point lane.
+
+    The 16-entry i*P table is built by a lax.scan (ONE complete-add instance
+    in the graph — an unrolled 15-add chain multiplies XLA:CPU compile time
+    superlinearly); the ladder body selects table rows with a pselect tree
+    (selects, not gathers: TPU-friendly, no random access).
     """
     lanes = points.x.shape[:-1]
-    table = [group.identity(lanes)]
-    for _ in range(1, 1 << _WDIG):
-        table.append(group.add(table[-1], points))
+    ident = group.identity(lanes)
+
+    def tbody(acc, _):
+        acc = group.add(acc, points)
+        return acc, acc
+
+    _, tail = jax.lax.scan(tbody, ident, None, length=(1 << _WDIG) - 1)
+    table = jax.tree_util.tree_map(
+        lambda i, t: jnp.concatenate([i[None], t], axis=0), ident, tail)
+
+    def row(i):
+        return jax.tree_util.tree_map(lambda a: a[i], table)
 
     def body(acc, dig_row):
         for _ in range(_WDIG):
             acc = group.dbl(acc)
-        sel = table[0]
+        sel = row(0)
         for i in range(1, 1 << _WDIG):
-            sel = pselect(dig_row == i, table[i], sel)
+            sel = pselect(dig_row == i, row(i), sel)
         return group.add(acc, sel), None
 
-    out, _ = jax.lax.scan(body, group.identity(lanes), digits)
+    out, _ = jax.lax.scan(body, ident, digits)
     return out
 
 
@@ -58,16 +73,24 @@ def _ndig(nbits: int) -> int:
     return -(-nbits // _WDIG)
 
 
+def _digit_rows(vals, nbits: int) -> np.ndarray:
+    """(ndig, len(vals)) base-2^_WDIG digit rows (MSB first) of python ints."""
+    nd = _ndig(nbits)
+    out = np.zeros((nd, len(vals)), dtype=np.uint32)
+    for i, v in enumerate(vals):
+        for d in range(nd):
+            out[nd - 1 - d, i] = (v >> (_WDIG * d)) & ((1 << _WDIG) - 1)
+    return out
+
+
 def _twiddle_digits(f_modulus: int, w: int, count: int, nbits: int) -> np.ndarray:
     """(ndig, count) base-2^_WDIG digit rows (MSB first) of w^0..w^(count-1)."""
-    nd = _ndig(nbits)
-    out = np.zeros((nd, count), dtype=np.uint32)
+    vals = []
     cur = 1
-    for i in range(count):
-        for d in range(nd):
-            out[nd - 1 - d, i] = (cur >> (_WDIG * d)) & ((1 << _WDIG) - 1)
+    for _ in range(count):
+        vals.append(cur)
         cur = (cur * w) % f_modulus
-    return out
+    return _digit_rows(vals, nbits)
 
 
 @functools.lru_cache(maxsize=None)
@@ -88,17 +111,17 @@ def _stage_digits(curve_name: str, logn: int, inverse: bool):
         full = _twiddle_digits(p, ws, m, nbits)    # (ndig, m)
         reps = (n // 2) // m
         stages.append(np.tile(full, (1, reps)))    # (ndig, n/2)
-    return jnp.asarray(np.stack(stages)), nbits    # (logn, ndig, n/2)
+    # cache NUMPY (the cache is shared across jit traces; a jnp array
+    # materialized inside a trace is a tracer and would leak — same guard
+    # as ntt.NttDomain)
+    return np.stack(stages), nbits                 # (logn, ndig, n/2)
 
 
-def ecntt(curve_name: str, points: Projective, dir: NTTDir = NTTDir.FORWARD,
-          logn: int | None = None) -> Projective:
-    """NTT of a (n,)-batched Projective array along axis 0 (natural in/out)."""
+def _ecntt_core(curve_name: str, points: Projective, dir: NTTDir,
+                logn: int) -> Projective:
+    """Radix-2 DIT, natural input -> natural output (no scaling/coset)."""
     group = get_group(curve_name)
-    curve = get_curve(curve_name)
-    n = points.x.shape[0]
-    logn = logn or (n.bit_length() - 1)
-    assert 1 << logn == n
+    n = 1 << logn
     stages, nbits = _stage_digits(curve_name, logn, dir == NTTDir.INVERSE)
 
     # bit-reverse input order (DIT)
@@ -115,7 +138,7 @@ def ecntt(curve_name: str, points: Projective, dir: NTTDir = NTTDir.FORWARD,
         odd = jax.tree_util.tree_map(lambda a: a[od], pts)
         # twiddle layout: stage twiddles repeat per block; our ev/od flatten
         # is block-major so lane j of block b uses twiddle j
-        tw = stages[s - 1][:, :m]
+        tw = jnp.asarray(stages[s - 1][:, :m])
         tw_full = jnp.tile(tw, (1, n >> s))
         t = scalar_mul_vec(group, odd, tw_full)
         out_ev = group.add(even, t)
@@ -125,33 +148,123 @@ def ecntt(curve_name: str, points: Projective, dir: NTTDir = NTTDir.FORWARD,
             lambda a, e, o: a.at[ev].set(e).at[od].set(o),
             pts, out_ev, out_od)
         pts = buf
-
-    if dir == NTTDir.INVERSE:
-        p = curve.fr.modulus
-        n_inv = pow(n, -1, p)
-        nd = _ndig(nbits)
-        digs = np.zeros((nd, n), dtype=np.uint32)
-        for d in range(nd):
-            digs[nd - 1 - d, :] = (n_inv >> (_WDIG * d)) & ((1 << _WDIG) - 1)
-        pts = scalar_mul_vec(group, pts, jnp.asarray(digs))
     return pts
 
 
+# ordering -> (input bit-reversed, output bit-reversed). Radix-2 engine =>
+# digit reversal == bit reversal, so the mixed orderings alias the R forms
+# (reference ntt.h:32-43; kNM/kMN only differ from kNR/kRN under a
+# multi-radix split, ours is pure radix-2).
+_ORDER_FLAGS = {
+    Ordering.NN: (False, False), Ordering.NR: (False, True),
+    Ordering.RN: (True, False), Ordering.RR: (True, True),
+    Ordering.NM: (False, True), Ordering.MN: (True, False),
+}
+
+
+def _ecntt_one(curve_name: str, points: Projective, dir: NTTDir,
+               cfg: NTTConfig, logn: int) -> Projective:
+    """Single (unbatched) config-aware ECNTT over axis 0."""
+    group = get_group(curve_name)
+    curve = get_curve(curve_name)
+    r = curve.fr.modulus
+    nbits = r.bit_length()
+    n = 1 << logn
+    rev = jnp.asarray(bit_reverse_indices(n))
+    in_rev, out_rev = _ORDER_FLAGS[cfg.ordering]
+
+    if in_rev:  # memory order is bit-reversed: un-permute to natural first
+        points = jax.tree_util.tree_map(lambda a: a[rev], points)
+
+    if dir == NTTDir.FORWARD and cfg.coset_gen is not None:
+        # coset shift: lane j scaled by g^j before the transform
+        # (reference cpu_ntt.cpp coset handling, templated over E=projective)
+        cos = _twiddle_digits(r, cfg.coset_gen % r, n, nbits)
+        points = scalar_mul_vec(group, points, jnp.asarray(cos))
+
+    pts = _ecntt_core(curve_name, points, dir, logn)
+
+    if dir == NTTDir.INVERSE:
+        # fused n^-1 and inverse-coset unscale: lane j *= n^-1 * g^-j
+        n_inv = pow(n, -1, r)
+        if cfg.coset_gen is not None:
+            g_inv = pow(cfg.coset_gen % r, -1, r)
+            vals = [(n_inv * pow(g_inv, j, r)) % r for j in range(n)]
+        else:
+            vals = [n_inv] * n
+        pts = scalar_mul_vec(group, pts, jnp.asarray(_digit_rows(vals, nbits)))
+
+    if out_rev:
+        pts = jax.tree_util.tree_map(lambda a: a[rev], pts)
+    return pts
+
+
+_DEFAULT_CFG = NTTConfig()
+
+
+def ecntt(curve_name: str, points: Projective, dir: NTTDir = NTTDir.FORWARD,
+          cfg: NTTConfig = _DEFAULT_CFG, logn: int | None = None) -> Projective:
+    """ECNTT with the reference's NTTConfig surface (ecntt_backend.h routes
+    the full NTTConfig<scalar_t> through the NTT engine templated over
+    E=projective_t): ordering, coset_gen, batch_size.
+
+    Unbatched: coordinate arrays are (n, L), transform along axis 0.
+    Batched (cfg.batch_size>1): (batch, n, L); columns_batch=True means the
+    transform runs along axis 0 of (n, batch, L) (column-major batch),
+    mirroring the reference's columns_batch flag.
+    """
+    if cfg.batch_size > 1:
+        if cfg.columns_batch:
+            # (n, batch, L): vmap over the batch (middle) axis
+            vm = jax.vmap(lambda x, y, z: _run_one(curve_name, x, y, z, dir,
+                                                   cfg, logn),
+                          in_axes=1, out_axes=1)
+        else:
+            vm = jax.vmap(lambda x, y, z: _run_one(curve_name, x, y, z, dir,
+                                                   cfg, logn),
+                          in_axes=0, out_axes=0)
+        ox, oy, oz = vm(points.x, points.y, points.z)
+        return Projective(ox, oy, oz)
+    n = points.x.shape[0]
+    ln = logn or (n.bit_length() - 1)
+    check(1 << ln == n, IcicleError.INVALID_ARGUMENT,
+          f"ecntt size {n} is not a power of two")
+    return _ecntt_one(curve_name, points, dir, cfg, ln)
+
+
+def _run_one(curve_name, x, y, z, dir, cfg, logn):
+    n = x.shape[0]
+    ln = logn or (n.bit_length() - 1)
+    out = _ecntt_one(curve_name, Projective(x, y, z), dir, cfg, ln)
+    return out.x, out.y, out.z
+
+
 @functools.lru_cache(maxsize=None)
-def _jitted_ecntt(curve_name: str, logn: int, direction: str):
+def _jitted_ecntt(curve_name: str, logn: int, direction: str, cfg_key: tuple):
+    ordering, coset_gen, batch_size, columns_batch = cfg_key
+    cfg = NTTConfig(ordering=Ordering(ordering), coset_gen=coset_gen,
+                    batch_size=batch_size, columns_batch=columns_batch)
+
     @jax.jit
     def run(px, py, pz):
         return ecntt(curve_name, Projective(px, py, pz), NTTDir(direction),
-                     logn=logn)
+                     cfg=cfg, logn=logn)
     return run
 
 
 def ecntt_jit(curve_name: str, points: Projective,
-              dir: NTTDir = NTTDir.FORWARD) -> Projective:
-    """jit-cached ECNTT (one compile per curve/size/direction): the 2^10-2^16
-    sizes are dominated by the per-stage twiddle scalar-muls, so retracing
-    the stage graphs per call would double the cost."""
-    n = points.x.shape[0]
+              dir: NTTDir = NTTDir.FORWARD,
+              cfg: NTTConfig = _DEFAULT_CFG) -> Projective:
+    """jit-cached ECNTT (one compile per curve/size/direction/config).
+
+    ALWAYS prefer this over calling ecntt() eagerly: besides the retrace
+    cost, eager complete-adds dispatch ~1e3 tiny ops each — the whole-graph
+    jit collapses them into one cached executable (which also makes the
+    15-add ladder tables compile-time work inside the graph)."""
+    axis = 1 if (cfg.batch_size > 1 and not cfg.columns_batch) else 0
+    n = points.x.shape[axis]
     logn = n.bit_length() - 1
-    return _jitted_ecntt(curve_name, logn, dir.value)(
+    key = (cfg.ordering.value, cfg.coset_gen, cfg.batch_size,
+           cfg.columns_batch)
+    return _jitted_ecntt(curve_name, logn, dir.value, key)(
         points.x, points.y, points.z)
