@@ -54,18 +54,25 @@ def bench_ntt(mesh, logn: int, iters: int = 3) -> float:
     return butterflies / dt
 
 
-def bench_msm(mesh, logn: int, iters: int = 1) -> float:
-    from icicle_tpu.parallel.msm_sharded import msm_sharded
+def bench_msm(mesh, logn: int, iters: int = 1, pipeline: str = "v1") -> float:
+    from icicle_tpu.parallel.msm_sharded import msm_sharded, msm_sharded3
 
     n = 1 << logn
     rng = np.random.default_rng(0)
     scal = rng.integers(0, 2**32, size=(n, 8), dtype=np.uint32)
     px = rng.integers(0, 2**31, size=(n, 8), dtype=np.uint32)
     py = rng.integers(0, 2**31, size=(n, 8), dtype=np.uint32)
-    msm_sharded("bn254", scal, px, py, mesh)  # compile + warmup
+    import jax
+    backend = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+    if pipeline == "v3":
+        run = lambda: msm_sharded3("bn254", scal, px, py, mesh,
+                                   backend=backend)
+    else:
+        run = lambda: msm_sharded("bn254", scal, px, py, mesh)
+    run()  # compile + warmup
     t0 = time.perf_counter()
     for _ in range(iters):
-        msm_sharded("bn254", scal, px, py, mesh)
+        run()
     dt = (time.perf_counter() - t0) / iters
     return n / dt
 
@@ -74,6 +81,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--ntt-logn", type=int, default=18)
     ap.add_argument("--msm-logn", type=int, default=14)
+    ap.add_argument("--msm-pipeline", choices=("v1", "v3"), default="v1",
+                    help="v3 = prefix-scan engine (pallas on TPU meshes)")
     ap.add_argument("--skip-msm", action="store_true")
     args = ap.parse_args()
 
@@ -106,7 +115,8 @@ def main() -> None:
         print(f"NTT 2^{args.ntt_logn} @ {d} dev: {ntt_rate/1e9:.3f} G bf/s "
               f"(eff {row['efficiency_vs_1dev']*100:.0f}%)", flush=True)
         if not args.skip_msm:
-            msm_rate = bench_msm(mesh, args.msm_logn)
+            msm_rate = bench_msm(mesh, args.msm_logn,
+                                 pipeline=args.msm_pipeline)
             row = {"points_per_s": msm_rate}
             if d == 1:
                 base["msm"] = msm_rate
