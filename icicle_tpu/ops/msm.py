@@ -45,6 +45,11 @@ class MSMConfig:
     backend: str | None = None     # None/auto | "xla" | "pallas"
     precompute_factor: int = 1
     batch_size: int = 1
+    are_points_shared_in_batch: bool = True  # batch reuses one point set
+    # None = auto: single fused vmapped graph on TPU (whole batch in one
+    # device program), per-batch dispatch loop elsewhere (XLA:CPU compile
+    # of the vmapped pipeline is minutes even at toy sizes)
+    batch_vmap: bool | None = None
     are_scalars_montgomery_form: bool = False
     are_points_montgomery_form: bool = False
     g2: bool = False               # operate on the G2 group (msm.h G2 variants)
@@ -228,6 +233,23 @@ def _jitted_msm(curve_name: str, c: int, nbits: int, g2: bool = False):
     return run
 
 
+@functools.lru_cache(maxsize=None)
+def _jitted_msm_batch(curve_name: str, c: int, nbits: int, g2: bool = False):
+    """Batched MSM with shared points (reference msm.h batch_size +
+    are_points_shared_in_batch): ONE graph vmapped over the batch axis —
+    the whole batch runs as a single device program instead of a python
+    loop of dispatches (the reference's own headline includes 2^10 x 1000
+    batches, docs/api/cpp/msm.md:192)."""
+    group = get_group(curve_name, g2=g2)
+
+    @jax.jit
+    def run(scalar_limbs, px, py):          # (B, N, Ls), (N, L), (N, L)
+        return jax.vmap(
+            lambda s: msm_impl(group, s, px, py, c, nbits))(scalar_limbs)
+
+    return run
+
+
 def precompute_shift(nbits: int, c: int, precompute_factor: int) -> int:
     """Doubling count between precomputed copies (cpu_msm.hpp:468-469):
     shift = c * ceil(ceil(bitsize/c) / precompute_factor)."""
@@ -344,6 +366,16 @@ def msm(curve_name: str, scalars, points_x, points_y,
         px, py = fq.to_mont(points_x), fq.to_mont(points_y)
 
     if scalars.ndim == 3:  # batch axis
+        use_vmap = cfg.batch_vmap
+        if use_vmap is None:
+            use_vmap = jax.default_backend() == "tpu"
+        if (use_vmap and cfg.are_points_shared_in_batch
+                and cfg.precompute_factor == 1):
+            n = scalars.shape[1]
+            c = cfg.c or _auto_c(n, curve_name)
+            nbits = cfg.bitsize or curve.fr.modulus.bit_length()
+            return _jitted_msm_batch(curve_name, c, nbits, cfg.g2)(
+                scalars, px, py)
         results = [msm(curve_name, scalars[i], points_x, points_y,
                        dataclasses.replace(cfg, batch_size=1))
                    for i in range(scalars.shape[0])]

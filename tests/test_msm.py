@@ -188,3 +188,29 @@ def test_msm_all_curves(curve_name):
     want = want if want is not INF else (0, 0)
     assert (int(np.atleast_1d(fq.to_ints(got[0]))[0]),
             int(np.atleast_1d(fq.to_ints(got[1]))[0])) == want
+
+
+def test_msm_batch_vmap_path():
+    """Fused vmapped batch graph == per-batch loop (TPU default path; the
+    compile is cached persistently so this stays a one-time ~4 min cost on
+    the CI host — shapes chosen minimal: B=2, n=8, c=8)."""
+    import dataclasses
+    from icicle_tpu.ops.msm import MSMConfig
+
+    rng = np.random.default_rng(23)
+    curve = get_curve("bn254")
+    g = get_group("bn254")
+    fr, fq = curve.fr, curve.fq
+    n, b = 8, 2
+    _, pts = make_inputs("bn254", n, rng)
+    batches = [[int.from_bytes(rng.bytes(40), "little") % fr.modulus
+                for _ in range(n)] for _ in range(b)]
+    import jax.numpy as jnp
+    s_dev = jnp.stack([fr.from_ints(s) for s in batches])
+    px = fq.from_ints([p[0] for p in pts])
+    py = fq.from_ints([p[1] for p in pts])
+    res = msm("bn254", s_dev, px, py, MSMConfig(c=8, batch_vmap=True))
+    x, y = g.to_affine_canonical(res)
+    for i in range(b):
+        want = msm_ref(batches[i], pts, fq.modulus)
+        assert (int(fq.to_ints(x[i])), int(fq.to_ints(y[i]))) == want
