@@ -100,9 +100,53 @@ def _bench_msm() -> None:
         sys.exit(1)
 
 
+def _bench_merkle() -> None:
+    """Poseidon2 binary Merkle tree over 2^BENCH_LOGN babybear leaves
+    (reference headline: Poseidon tree, 2^29 leaves, 9.4 s on RTX 3090 Ti —
+    docs/api/cpp/_poseidon.md:211-227)."""
+    size_log = int(os.environ.get("BENCH_LOGN", "24"))
+    import numpy as np
+    import jax
+
+    from icicle_tpu.fields.field import get_field
+    from icicle_tpu.ops.hash.poseidon2 import Poseidon2
+    from icicle_tpu.ops.merkle import MerkleTree
+
+    f = get_field("babybear")
+    n = 1 << size_log
+    tree = MerkleTree([Poseidon2(f, 2)] * size_log, leaf_words=1)
+    rng = np.random.default_rng(0)
+    leaves = rng.integers(0, f.modulus, size=(n,), dtype=np.uint32)
+
+    t0 = time.perf_counter()
+    tree.build(leaves)
+    root = tree.get_root()
+    warm = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    tree.build(leaves)
+    root = tree.get_root()
+    dt = time.perf_counter() - t0
+    rate = n / dt
+
+    print(json.dumps({
+        "metric": f"babybear_poseidon2_merkle_2^{size_log}_leaves_per_s",
+        "value": rate,
+        "unit": "leaves/s",
+        # reference: 2^29 leaves in 9.4 s => 57.1 M leaves/s (GPU, bn254)
+        "vs_baseline": rate / 57.1e6,
+        "warmup_s": warm,
+        "root": int(root.reshape(-1)[0]),
+    }))
+
+
 def main() -> None:
-    if os.environ.get("BENCH_KERNEL", "ntt") == "msm":
+    kernel = os.environ.get("BENCH_KERNEL", "ntt")
+    if kernel == "msm":
         _bench_msm()
+        return
+    if kernel == "merkle":
+        _bench_merkle()
         return
     size_log = int(os.environ.get("BENCH_LOGN", "26"))
     batch = int(os.environ.get("BENCH_BATCH", "1"))

@@ -34,8 +34,11 @@ def fwd(x):
     return ntt(f, x, NTTDir.FORWARD)
 
 
-# warm up the compile outside the timed loop
+# warm up compiles + transfer programs outside the timed loops (the
+# overlap only shows on hardware with independent DMA engines, i.e. TPU;
+# a 1-core CPU host serializes everything anyway)
 np.asarray(fwd(chunks[0]))
+list(stream_map(fwd, chunks[:2], prefetch=2))
 
 t0 = time.perf_counter()
 outs = list(stream_map(fwd, chunks, prefetch=2))
