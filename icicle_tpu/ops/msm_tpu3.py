@@ -43,7 +43,8 @@ _NEG_BIT = 13
 _KEY_SHIFT = 14
 
 
-def _plan3(n: int, c: int | None, nbits: int, T: int | None):
+def _plan3(n: int, c: int | None, nbits: int, T: int | None,
+           wg: int | None = None):
     T = T or min(8192, max(256, n))
     T = min(T, 1 << _IDX_BITS)
     if c is None:
@@ -60,9 +61,10 @@ def _plan3(n: int, c: int | None, nbits: int, T: int | None):
     tiles = -(-n // T)
     tiles = 1 << max(0, (tiles - 1).bit_length())
     # windows per group: bound in-flight permuted+E-stream bytes (~160B/slot)
-    byte_budget = 6 << 30
-    per_window = tiles * T * 160
-    wg = max(1, min(n_windows, byte_budget // max(per_window, 1), 8))
+    if wg is None:
+        byte_budget = 6 << 30
+        per_window = tiles * T * 160
+        wg = max(1, min(n_windows, byte_budget // max(per_window, 1), 8))
     n_groups = -(-n_windows // wg)
     wg = -(-n_windows // n_groups)
     return c, M, T, tiles, n_windows, wg

@@ -75,7 +75,8 @@ def _host_horner(fq, n_windows: int, c: int, wsum_x, wsum_y, wsum_z):
 
 def msm_sharded3(curve_name: str, scalars, points_x, points_y, mesh: Mesh,
                  c: int | None = None, T: int | None = None,
-                 backend: str = "xla", engine: str = "u32"):
+                 backend: str = "xla", engine: str = "u32",
+                 wg: int | None = None):
     """Sharded v3 (prefix-scan) MSM: each shard runs the full msm_tpu3
     pipeline (sort -> MXU permute -> Pallas prefix scan -> MXU extraction ->
     window sums), then the (W, 3, L) per-shard window sums — a few KB — are
@@ -94,7 +95,7 @@ def msm_sharded3(curve_name: str, scalars, points_x, points_y, mesh: Mesh,
     assert n % d == 0, "global size must divide the mesh"
     shard_n = n // d
     nbits = fr.modulus.bit_length()
-    c, M, T, tiles, n_windows, wg = _plan3(shard_n, c, nbits, T)
+    c, M, T, tiles, n_windows, wg = _plan3(shard_n, c, nbits, T, wg)
     shard_pad = tiles * T
     nls = scalars.shape[1]
 
