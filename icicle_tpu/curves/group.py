@@ -187,6 +187,7 @@ class Group:
 
         self.b3_mont = const_mont(b3)
         self.one_mont = const_mont(one)
+        self._op_cache: dict = {}
         self.zero_limbs = jnp.zeros((nl,), dtype=jnp.uint32)
         self.gen_mont = Affine(const_mont(gen_x), const_mont(gen_y))
         self.nlimbs = nl
@@ -204,28 +205,54 @@ class Group:
         return Projective(bc(self.gen_mont.x), bc(self.gen_mont.y), bc(self.one_mont))
 
     # -- core ops (Montgomery form) -------------------------------------------
-    # Raw (trace-time) forms for use inside callers' jitted graphs:
+    # Each op routes through a nested jit cached per montmul lowering mode:
+    # jit caches the traced jaxpr by aval, so the hundredth trace-time call of
+    # a 13-montmul add in a fold tree reuses the first call's jaxpr instead of
+    # re-tracing it (measured: cuts multi-minute Python tracing of the MSM
+    # pipelines by ~4x on the 1-core CI host). XLA's CallInliner flattens the
+    # nested calls before fusion, so compiled code is unchanged. MUL_MODE is
+    # trace-time state, hence the per-mode cache key.
+    def _op(self, name: str, raw):
+        from icicle_tpu.math import bigint
+        key = (name, bigint.MUL_MODE)
+        fn = self._op_cache.get(key)
+        if fn is None:
+            fn = jax.jit(raw)
+            self._op_cache[key] = fn
+        return fn
+
     def add(self, p: Projective, q: Projective) -> Projective:
-        return padd(self.f, p, q, self.b3_mont)
+        return self._op("add", self._raw_add)(p, q)
 
     def madd(self, p: Projective, q: Affine) -> Projective:
-        return pmadd(self.f, p, q, self.b3_mont)
+        return self._op("madd", self._raw_madd)(p, q)
 
     def dbl(self, p: Projective) -> Projective:
+        return self._op("dbl", self._raw_dbl)(p)
+
+    # Raw (always-retrace) forms for contexts that must not nest a jit:
+    def _raw_add(self, p: Projective, q: Projective) -> Projective:
+        return padd(self.f, p, q, self.b3_mont)
+
+    def _raw_madd(self, p: Projective, q: Affine) -> Projective:
+        return pmadd(self.f, p, q, self.b3_mont)
+
+    def _raw_dbl(self, p: Projective) -> Projective:
         return pdbl(self.f, p, self.b3_mont)
 
-    # Jitted forms for eager/API callers (avoid per-primitive dispatch):
+    # Jitted forms for eager/API callers (kept for API compat; add/madd/dbl
+    # are now themselves jit-backed):
     @functools.cached_property
     def jadd(self):
-        return jax.jit(self.add)
+        return jax.jit(self._raw_add)
 
     @functools.cached_property
     def jmadd(self):
-        return jax.jit(self.madd)
+        return jax.jit(self._raw_madd)
 
     @functools.cached_property
     def jdbl(self):
-        return jax.jit(self.dbl)
+        return jax.jit(self._raw_dbl)
 
     def neg(self, p: Projective) -> Projective:
         return pneg(self.f, p)
