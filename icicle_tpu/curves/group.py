@@ -188,6 +188,7 @@ class Group:
         self.b3_mont = const_mont(b3)
         self.one_mont = const_mont(one)
         self._op_cache: dict = {}
+        self._base_mont = base_mont
         self.zero_limbs = jnp.zeros((nl,), dtype=jnp.uint32)
         self.gen_mont = Affine(const_mont(gen_x), const_mont(gen_y))
         self.nlimbs = nl
@@ -256,6 +257,18 @@ class Group:
 
     def neg(self, p: Projective) -> Projective:
         return pneg(self.f, p)
+
+    @functools.cached_property
+    def glv_beta_mont(self):
+        """Montgomery-form beta for the GLV endomorphism (x, y) -> (beta*x, y)
+        (curves/glv.py; G1 only — G2 points live over the extension)."""
+        if self.g2:
+            raise ValueError("GLV beta is defined for G1 groups only")
+        from icicle_tpu.curves.glv import glv_constants
+        beta, _ = glv_constants(self.curve.name)
+        # NUMPY, not jnp: the cache outlives any single trace (same tracer-
+        # leak guard as ecntt._stage_glv); callers asarray it per use.
+        return self._base_mont(beta)
 
     def is_identity(self, p: Projective):
         return self.f.is_zero(p.z)

@@ -32,6 +32,58 @@ from icicle_tpu.runtime.errors import IcicleError, check
 _WDIG = 4  # ladder digit width (bits)
 
 
+def scalar_mul_vec_glv(group: Group, points: Projective, rows) -> Projective:
+    """Per-lane scalar multiplication via the GLV split (curves/glv.py).
+
+    rows = (dig1, dig2, neg1, neg2): base-2^_WDIG digit rows (ndig, lanes)
+    of |k1|, |k2| (MSB first) plus per-lane sign flags. k*P is computed as a
+    joint ladder over P' = sign1*P and phi(P)' = sign2*(beta*x, y, z) —
+    HALF the doubling chain of the plain ladder (|ki| ~ sqrt(r)), two table
+    adds per digit row, two 16-entry tables per call.
+    """
+    dig1, dig2, neg1, neg2 = rows
+    f = group.f
+    lanes = points.x.shape[:-1]
+    ident = group.identity(lanes)
+    beta = jnp.broadcast_to(group.glv_beta_mont, points.x.shape)
+
+    def signed(pts, neg):
+        return pselect(neg, Projective(pts.x, f.neg(pts.y), pts.z), pts)
+
+    p1 = signed(points, neg1)
+    p2 = signed(Projective(f.mul_mont(points.x, beta), points.y, points.z),
+                neg2)
+
+    def build_table(base):
+        def tbody(acc, _):
+            acc = group.add(acc, base)
+            return acc, acc
+        _, tail = jax.lax.scan(tbody, ident, None, length=(1 << _WDIG) - 1)
+        return jax.tree_util.tree_map(
+            lambda i, t: jnp.concatenate([i[None], t], axis=0), ident, tail)
+
+    t1 = build_table(p1)
+    t2 = build_table(p2)
+
+    def sel(table, dig_row):
+        out = jax.tree_util.tree_map(lambda a: a[0], table)
+        for i in range(1, 1 << _WDIG):
+            out = pselect(dig_row == i,
+                          jax.tree_util.tree_map(lambda a: a[i], table), out)
+        return out
+
+    def body(acc, xs):
+        d1, d2 = xs
+        for _ in range(_WDIG):
+            acc = group.dbl(acc)
+        acc = group.add(acc, sel(t1, d1))
+        acc = group.add(acc, sel(t2, d2))
+        return acc, None
+
+    out, _ = jax.lax.scan(body, ident, (dig1, dig2))
+    return out
+
+
 def scalar_mul_vec(group: Group, points: Projective, digits) -> Projective:
     """Per-lane scalar multiplication, 2^_WDIG-ary windowed ladder.
 
@@ -93,36 +145,67 @@ def _twiddle_digits(f_modulus: int, w: int, count: int, nbits: int) -> np.ndarra
     return _digit_rows(vals, nbits)
 
 
+def _glv_nbits(curve_name: str) -> int:
+    """Digit-row bit width for GLV half-scalars (max |ki| over the basis)."""
+    return (get_curve(curve_name).fr.modulus.bit_length() + 1) // 2 + 2
+
+
+def _glv_rows(curve_name: str, vals):
+    """Host GLV split of python-int scalars -> ladder inputs
+    (dig1, dig2 (ndig, n) uint32 MSB-first; neg1, neg2 (n,) bool)."""
+    from icicle_tpu.curves.glv import glv_decompose
+    k1s, k2s = [], []
+    for v in vals:
+        k1, k2 = glv_decompose(curve_name, int(v))
+        k1s.append(k1)
+        k2s.append(k2)
+    nbits = _glv_nbits(curve_name)
+    return (_digit_rows([abs(k) for k in k1s], nbits),
+            _digit_rows([abs(k) for k in k2s], nbits),
+            np.array([k < 0 for k in k1s]),
+            np.array([k < 0 for k in k2s]))
+
+
+def _powers(f_modulus: int, w: int, count: int) -> list[int]:
+    vals, cur = [], 1
+    for _ in range(count):
+        vals.append(cur)
+        cur = (cur * w) % f_modulus
+    return vals
+
+
 @functools.lru_cache(maxsize=None)
-def _stage_digits(curve_name: str, logn: int, inverse: bool):
+def _stage_glv(curve_name: str, logn: int, inverse: bool):
+    """Per-stage GLV ladder inputs for the radix-2 DIT twiddles.
+
+    Returns a list over stages s=2..logn of (dig1, dig2, neg1, neg2) numpy
+    arrays covering that stage's m distinct twiddles (stage 1's twiddle is
+    w^0 = 1 and is skipped by the core). Cached as NUMPY: the cache is shared
+    across jit traces (same guard as ntt.NttDomain)."""
     curve = get_curve(curve_name)
     p = curve.fr.modulus
     w = curve.fr.params.omega(logn)
     if inverse:
         w = pow(w, -1, p)
-    nbits = p.bit_length()
     n = 1 << logn
-    # stage s (m = 2^s block half-size): twiddles w^(j * n/(2m)) for j in [0, m)
     stages = []
-    for s in range(1, logn + 1):
+    for s in range(2, logn + 1):
         m = 1 << (s - 1)
-        step = n >> s
-        ws = pow(w, step, p)
-        full = _twiddle_digits(p, ws, m, nbits)    # (ndig, m)
-        reps = (n // 2) // m
-        stages.append(np.tile(full, (1, reps)))    # (ndig, n/2)
-    # cache NUMPY (the cache is shared across jit traces; a jnp array
-    # materialized inside a trace is a tracer and would leak — same guard
-    # as ntt.NttDomain)
-    return np.stack(stages), nbits                 # (logn, ndig, n/2)
+        ws = pow(w, n >> s, p)
+        stages.append(_glv_rows(curve_name, _powers(p, ws, m)))
+    return stages
 
 
 def _ecntt_core(curve_name: str, points: Projective, dir: NTTDir,
                 logn: int) -> Projective:
-    """Radix-2 DIT, natural input -> natural output (no scaling/coset)."""
+    """Radix-2 DIT, natural input -> natural output (no scaling/coset).
+
+    Stage 1's twiddles are all w^0 = 1, so its butterflies skip the scalar
+    ladder entirely; stages 2+ run the GLV joint ladder (half the doubling
+    chain of the plain 2^4-ary ladder)."""
     group = get_group(curve_name)
     n = 1 << logn
-    stages, nbits = _stage_digits(curve_name, logn, dir == NTTDir.INVERSE)
+    stages = _stage_glv(curve_name, logn, dir == NTTDir.INVERSE)
 
     # bit-reverse input order (DIT)
     rev = jnp.asarray(bit_reverse_indices(n))
@@ -136,11 +219,18 @@ def _ecntt_core(curve_name: str, points: Projective, dir: NTTDir,
         od = jnp.asarray(idx[:, m:].reshape(-1))
         even = jax.tree_util.tree_map(lambda a: a[ev], pts)
         odd = jax.tree_util.tree_map(lambda a: a[od], pts)
-        # twiddle layout: stage twiddles repeat per block; our ev/od flatten
-        # is block-major so lane j of block b uses twiddle j
-        tw = jnp.asarray(stages[s - 1][:, :m])
-        tw_full = jnp.tile(tw, (1, n >> s))
-        t = scalar_mul_vec(group, odd, tw_full)
+        if s == 1:
+            t = odd                      # twiddle = 1: no ladder
+        else:
+            # twiddle layout: stage twiddles repeat per block; our ev/od
+            # flatten is block-major so lane j of block b uses twiddle j
+            d1, d2, n1, n2 = stages[s - 2]
+            reps = n >> s
+            rows = (jnp.asarray(np.tile(d1, (1, reps))),
+                    jnp.asarray(np.tile(d2, (1, reps))),
+                    jnp.asarray(np.tile(n1, reps)),
+                    jnp.asarray(np.tile(n2, reps)))
+            t = scalar_mul_vec_glv(group, odd, rows)
         out_ev = group.add(even, t)
         out_od = group.add(even, group.neg(t))
         # scatter back
@@ -168,7 +258,6 @@ def _ecntt_one(curve_name: str, points: Projective, dir: NTTDir,
     group = get_group(curve_name)
     curve = get_curve(curve_name)
     r = curve.fr.modulus
-    nbits = r.bit_length()
     n = 1 << logn
     rev = jnp.asarray(bit_reverse_indices(n))
     in_rev, out_rev = _ORDER_FLAGS[cfg.ordering]
@@ -179,8 +268,9 @@ def _ecntt_one(curve_name: str, points: Projective, dir: NTTDir,
     if dir == NTTDir.FORWARD and cfg.coset_gen is not None:
         # coset shift: lane j scaled by g^j before the transform
         # (reference cpu_ntt.cpp coset handling, templated over E=projective)
-        cos = _twiddle_digits(r, cfg.coset_gen % r, n, nbits)
-        points = scalar_mul_vec(group, points, jnp.asarray(cos))
+        rows = tuple(jnp.asarray(a) for a in
+                     _glv_rows(curve_name, _powers(r, cfg.coset_gen % r, n)))
+        points = scalar_mul_vec_glv(group, points, rows)
 
     pts = _ecntt_core(curve_name, points, dir, logn)
 
@@ -192,7 +282,8 @@ def _ecntt_one(curve_name: str, points: Projective, dir: NTTDir,
             vals = [(n_inv * pow(g_inv, j, r)) % r for j in range(n)]
         else:
             vals = [n_inv] * n
-        pts = scalar_mul_vec(group, pts, jnp.asarray(_digit_rows(vals, nbits)))
+        rows = tuple(jnp.asarray(a) for a in _glv_rows(curve_name, vals))
+        pts = scalar_mul_vec_glv(group, pts, rows)
 
     if out_rev:
         pts = jax.tree_util.tree_map(lambda a: a[rev], pts)
