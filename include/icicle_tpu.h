@@ -1,0 +1,66 @@
+/* icicle_tpu C ABI — the non-Python consumption surface.
+ *
+ * Counterpart of the reference's L5 FFI layer (include/icicle/runtime.h +
+ * src/**_c_api.cpp, consumed by wrappers/rust and wrappers/golang): a stable
+ * extern "C" boundary so Rust/Go/C++ provers can drive the TPU framework
+ * without a Python toolchain. libicicle_tpu.so embeds a CPython runtime that
+ * hosts the JAX/XLA compute path; all buffers cross as little-endian uint32
+ * limb arrays (the same layout the reference's FFI uses for field elements).
+ *
+ * Every call returns 0 on success or a nonzero eIcicleError-style code
+ * (errors.h mirror: 1=invalid_device .. 8=unknown); icicle_tpu_last_error()
+ * returns the most recent error message for this thread-family of calls.
+ *
+ * Build: tools/build_capi.sh -> build/libicicle_tpu.so
+ */
+#ifndef ICICLE_TPU_H
+#define ICICLE_TPU_H
+
+#include <stddef.h>
+#include <stdint.h>
+
+#ifdef __cplusplus
+extern "C" {
+#endif
+
+/* Start the embedded runtime (idempotent). platform: "tpu", "cpu" or NULL
+ * for auto. Returns 0 on success. */
+int icicle_tpu_init(const char* platform);
+
+/* Tear down the embedded runtime. Safe to call once at process exit. */
+void icicle_tpu_shutdown(void);
+
+/* Message for the last failed call ("" if none). Owned by the library. */
+const char* icicle_tpu_last_error(void);
+
+/* Number of uint32 limbs per element of `field`/curve base field. */
+int icicle_tpu_field_limbs(const char* field);
+
+/* NTT over `field` ("babybear", "koalabear", "stark252", "goldilocks", ...).
+ * data/out: n * limbs uint32, canonical form, natural order in and out.
+ * dir: 0 = forward, 1 = inverse. */
+int icicle_tpu_ntt(const char* field, const uint32_t* data, size_t n,
+                   int dir, uint32_t* out);
+
+/* MSM over `curve` ("bn254", "bls12_377", ...). scalars: n * fr_limbs u32;
+ * points_x/points_y: n * fq_limbs u32 canonical affine. out: 2 * fq_limbs
+ * u32 canonical affine result ((0,0) = identity). */
+int icicle_tpu_msm(const char* curve, const uint32_t* scalars,
+                   const uint32_t* points_x, const uint32_t* points_y,
+                   size_t n, uint32_t* out);
+
+/* Poseidon2 fixed-width hash over `field`: batch rows of t field elements
+ * in, batch digests out (1 element each for 31-bit fields). */
+int icicle_tpu_poseidon2(const char* field, int t, const uint32_t* inputs,
+                         size_t batch, uint32_t* out);
+
+/* Keccak-256 over `batch` equal chunks of `chunk_bytes` bytes; out:
+ * batch * 32 bytes. */
+int icicle_tpu_keccak256(const uint8_t* data, size_t chunk_bytes,
+                         size_t batch, uint8_t* out);
+
+#ifdef __cplusplus
+} /* extern "C" */
+#endif
+
+#endif /* ICICLE_TPU_H */

@@ -1,0 +1,255 @@
+// icicle_tpu C ABI implementation (include/icicle_tpu.h).
+//
+// Counterpart of the reference's FFI layer (src/**_c_api.cpp + runtime.h C
+// ABI consumed by wrappers/rust, wrappers/golang): embeds a CPython runtime
+// hosting the JAX/XLA compute path and marshals raw little-endian buffers
+// through icicle_tpu/capi_shim.py. No numpy/jax C APIs are touched here —
+// only bytes objects cross the boundary, so the ABI is stable against
+// Python-side refactors.
+//
+// Build: tools/build_capi.sh (g++ -shared, links libpython3.12).
+
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+
+#include <cstdint>
+#include <cstring>
+#include <mutex>
+#include <string>
+
+#include "../include/icicle_tpu.h"
+
+namespace {
+
+std::mutex g_mu;
+PyObject* g_shim = nullptr;   // icicle_tpu.capi_shim module
+std::string g_last_error;
+bool g_we_initialized = false;
+
+void set_error_from_python() {
+  PyObject *type = nullptr, *value = nullptr, *tb = nullptr;
+  PyErr_Fetch(&type, &value, &tb);
+  PyErr_NormalizeException(&type, &value, &tb);
+  g_last_error = "python error";
+  if (value) {
+    PyObject* s = PyObject_Str(value);
+    if (s) {
+      const char* msg = PyUnicode_AsUTF8(s);
+      if (msg) g_last_error = msg;
+      Py_DECREF(s);
+    }
+  }
+  Py_XDECREF(type);
+  Py_XDECREF(value);
+  Py_XDECREF(tb);
+}
+
+// Call shim.<fn>(*args); returns new ref or nullptr (error recorded).
+PyObject* shim_call(const char* fn, PyObject* args) {
+  PyObject* f = PyObject_GetAttrString(g_shim, fn);
+  if (!f) {
+    set_error_from_python();
+    return nullptr;
+  }
+  PyObject* out = PyObject_CallObject(f, args);
+  Py_DECREF(f);
+  if (!out) set_error_from_python();
+  return out;
+}
+
+int copy_bytes_out(PyObject* res, void* out, size_t want) {
+  char* buf = nullptr;
+  Py_ssize_t len = 0;
+  if (PyBytes_AsStringAndSize(res, &buf, &len) != 0) {
+    set_error_from_python();
+    return 8;
+  }
+  if (want && static_cast<size_t>(len) != want) {
+    g_last_error = "unexpected result size";
+    return 8;
+  }
+  std::memcpy(out, buf, len);
+  return 0;
+}
+
+struct Gil {
+  PyGILState_STATE st;
+  Gil() : st(PyGILState_Ensure()) {}
+  ~Gil() { PyGILState_Release(st); }
+};
+
+}  // namespace
+
+extern "C" {
+
+int icicle_tpu_init(const char* platform) {
+  std::lock_guard<std::mutex> lk(g_mu);
+  if (g_shim) return 0;
+  if (!Py_IsInitialized()) {
+    Py_InitializeEx(0);
+    g_we_initialized = true;
+  }
+  Gil gil;
+  // platform env must be pinned BEFORE the package import below: importing
+  // icicle_tpu.capi_shim runs icicle_tpu/__init__, which touches jax.
+  if (platform && std::strcmp(platform, "cpu") == 0) {
+    PyRun_SimpleString(
+        "import os\n"
+        "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+        "os.environ.setdefault('PALLAS_AXON_REMOTE_COMPILE', '0')\n");
+  } else if (!platform) {
+    PyRun_SimpleString(
+        "import os\nos.environ.pop('JAX_PLATFORMS', None)\n");
+  }
+  PyObject* mod = PyImport_ImportModule("icicle_tpu.capi_shim");
+  if (!mod) {
+    set_error_from_python();
+    return 3;  // eIcicleError::INVALID_DEVICE-class init failure
+  }
+  PyObject* args = Py_BuildValue("(z)", platform);
+  PyObject* res = nullptr;
+  PyObject* f = PyObject_GetAttrString(mod, "setup");
+  if (f) {
+    res = PyObject_CallObject(f, args);
+    Py_DECREF(f);
+  }
+  Py_DECREF(args);
+  if (!res) {
+    set_error_from_python();
+    Py_DECREF(mod);
+    return 3;
+  }
+  Py_DECREF(res);
+  g_shim = mod;
+  return 0;
+}
+
+void icicle_tpu_shutdown(void) {
+  std::lock_guard<std::mutex> lk(g_mu);
+  if (!g_shim) return;
+  {
+    Gil gil;
+    Py_DECREF(g_shim);
+  }
+  g_shim = nullptr;
+  // Finalizing an interpreter that loaded jaxlib is unreliable; leave the
+  // runtime alive if we did not create it, and skip Py_Finalize otherwise
+  // (process exit reclaims it — same stance as jax's own atexit handling).
+}
+
+const char* icicle_tpu_last_error(void) { return g_last_error.c_str(); }
+
+int icicle_tpu_field_limbs(const char* field) {
+  if (!g_shim) return -1;
+  Gil gil;
+  PyObject* args = Py_BuildValue("(s)", field);
+  PyObject* res = shim_call("field_limbs", args);
+  Py_DECREF(args);
+  if (!res) return -1;
+  long v = PyLong_AsLong(res);
+  Py_DECREF(res);
+  return static_cast<int>(v);
+}
+
+int icicle_tpu_ntt(const char* field, const uint32_t* data, size_t n,
+                   int dir, uint32_t* out) {
+  if (!g_shim) {
+    g_last_error = "icicle_tpu_init not called";
+    return 3;
+  }
+  Gil gil;
+  int limbs = icicle_tpu_field_limbs(field);
+  if (limbs <= 0) return 2;
+  size_t nbytes = n * limbs * 4;
+  PyObject* args = Py_BuildValue(
+      "(sy#ni)", field, reinterpret_cast<const char*>(data),
+      static_cast<Py_ssize_t>(nbytes), static_cast<Py_ssize_t>(n), dir);
+  PyObject* res = shim_call("ntt", args);
+  Py_DECREF(args);
+  if (!res) return 8;
+  int rc = copy_bytes_out(res, out, nbytes);
+  Py_DECREF(res);
+  return rc;
+}
+
+int icicle_tpu_msm(const char* curve, const uint32_t* scalars,
+                   const uint32_t* points_x, const uint32_t* points_y,
+                   size_t n, uint32_t* out) {
+  if (!g_shim) {
+    g_last_error = "icicle_tpu_init not called";
+    return 3;
+  }
+  Gil gil;
+  // limb counts come back from the shim result size; scalars use the
+  // scalar-field width which the shim derives from the curve
+  PyObject* args = Py_BuildValue("(s)", curve);
+  PyObject* fr_res = shim_call("scalar_limbs", args);
+  Py_DECREF(args);
+  if (!fr_res) return 2;
+  long frl = PyLong_AsLong(fr_res);
+  Py_DECREF(fr_res);
+  args = Py_BuildValue("(s)", curve);
+  PyObject* fq_res = shim_call("base_limbs", args);
+  Py_DECREF(args);
+  if (!fq_res) return 2;
+  long fql = PyLong_AsLong(fq_res);
+  Py_DECREF(fq_res);
+
+  args = Py_BuildValue(
+      "(sy#y#y#n)", curve,
+      reinterpret_cast<const char*>(scalars),
+      static_cast<Py_ssize_t>(n * frl * 4),
+      reinterpret_cast<const char*>(points_x),
+      static_cast<Py_ssize_t>(n * fql * 4),
+      reinterpret_cast<const char*>(points_y),
+      static_cast<Py_ssize_t>(n * fql * 4),
+      static_cast<Py_ssize_t>(n));
+  PyObject* res = shim_call("msm", args);
+  Py_DECREF(args);
+  if (!res) return 8;
+  int rc = copy_bytes_out(res, out, 2 * fql * 4);
+  Py_DECREF(res);
+  return rc;
+}
+
+int icicle_tpu_poseidon2(const char* field, int t, const uint32_t* inputs,
+                         size_t batch, uint32_t* out) {
+  if (!g_shim) {
+    g_last_error = "icicle_tpu_init not called";
+    return 3;
+  }
+  Gil gil;
+  int limbs = icicle_tpu_field_limbs(field);
+  if (limbs <= 0) return 2;
+  size_t in_bytes = batch * t * limbs * 4;
+  PyObject* args = Py_BuildValue(
+      "(siy#n)", field, t, reinterpret_cast<const char*>(inputs),
+      static_cast<Py_ssize_t>(in_bytes), static_cast<Py_ssize_t>(batch));
+  PyObject* res = shim_call("poseidon2", args);
+  Py_DECREF(args);
+  if (!res) return 8;
+  int rc = copy_bytes_out(res, out, batch * limbs * 4);
+  Py_DECREF(res);
+  return rc;
+}
+
+int icicle_tpu_keccak256(const uint8_t* data, size_t chunk_bytes,
+                         size_t batch, uint8_t* out) {
+  if (!g_shim) {
+    g_last_error = "icicle_tpu_init not called";
+    return 3;
+  }
+  Gil gil;
+  PyObject* args = Py_BuildValue(
+      "(y#nn)", reinterpret_cast<const char*>(data),
+      static_cast<Py_ssize_t>(chunk_bytes * batch),
+      static_cast<Py_ssize_t>(chunk_bytes), static_cast<Py_ssize_t>(batch));
+  PyObject* res = shim_call("keccak256", args);
+  Py_DECREF(args);
+  if (!res) return 8;
+  int rc = copy_bytes_out(res, out, batch * 32);
+  Py_DECREF(res);
+  return rc;
+}
+
+}  // extern "C"

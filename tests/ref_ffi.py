@@ -58,9 +58,87 @@ def _isolated(fn):
     return wrapper
 
 
-def available(field: str = "babybear") -> bool:
+# -- golden-vector record/replay ----------------------------------------------
+# Checked-in vectors (tests/golden/) let the parity suite run on machines
+# WITHOUT the 15-min reference build: every golden call is keyed by a hash of
+# its arguments; hits replay from disk, misses fall through to the FFI and
+# record. Test inputs are derived from the fixed ICICLE_TPU_TEST_SEED, so the
+# same test bodies hash to the same keys on a fresh clone.
+
+GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
+
+
+def _arg_key(fn_name: str, args: tuple, kwargs: dict) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(fn_name.encode())
+
+    def feed(v):
+        if isinstance(v, np.ndarray):
+            h.update(b"nd%s%r" % (str(v.dtype).encode(), v.shape))
+            h.update(np.ascontiguousarray(v).tobytes())
+        elif isinstance(v, (bytes, bytearray)):
+            h.update(b"by" + bytes(v))
+        else:
+            h.update(repr(v).encode())
+
+    for a in args:
+        feed(a)
+    for k in sorted(kwargs):
+        h.update(k.encode())
+        feed(kwargs[k])
+    return h.hexdigest()[:32]
+
+
+def _golden(fn):
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        path = os.path.join(GOLDEN_DIR,
+                            f"{fn.__name__}__{_arg_key(fn.__name__, args, kwargs)}.pkl")
+        if os.path.exists(path):
+            with open(path, "rb") as fh:
+                return pickle.load(fh)
+        if not _build_present_for(fn.__name__):
+            raise RuntimeError(
+                f"no golden vector for this {fn.__name__} call and no "
+                f"reference build present; run tools/build_reference.sh to "
+                "(re)record (did ICICLE_TPU_TEST_SEED or a test body change?)")
+        out = fn(*args, **kwargs)
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        with open(path, "wb") as fh:
+            pickle.dump(out, fh, protocol=4)
+        return out
+    return wrapper
+
+
+def _build_present(field: str = "babybear") -> bool:
     return (os.path.exists(os.path.join(BUILD_DIR, "libicicle_device.so"))
             and os.path.exists(os.path.join(BUILD_DIR, f"libicicle_field_{field}.so")))
+
+
+def _bn254_build_present() -> bool:
+    build = os.environ.get("ICICLE_REF_BUILD_BN254", "/tmp/icicle_build_bn254")
+    return os.path.exists(os.path.join(build, "libicicle_curve_bn254.so"))
+
+
+def _build_present_for(fn_name: str) -> bool:
+    if fn_name.startswith("bn254_"):
+        return _bn254_build_present()
+    return _build_present()
+
+
+def _golden_store_present() -> bool:
+    return os.path.isdir(GOLDEN_DIR) and bool(os.listdir(GOLDEN_DIR))
+
+
+def available(field: str = "babybear") -> bool:
+    """Parity tests run if the reference build OR the recorded store exists."""
+    return _build_present(field) or _golden_store_present()
+
+
+def bn254_available() -> bool:
+    return _bn254_build_present() or _golden_store_present()
 
 
 @functools.lru_cache(maxsize=None)
@@ -132,6 +210,7 @@ def _scalar_bytes(field: str) -> int:
 
 # -- byte hashes (keccak/sha3/blake2s/blake3) ------------------------------------
 
+@_golden
 @_isolated
 def byte_hash(name: str, inputs: np.ndarray, digest_bytes: int,
               field: str = "babybear") -> np.ndarray:
@@ -162,6 +241,7 @@ def byte_hash(name: str, inputs: np.ndarray, digest_bytes: int,
 
 # -- poseidon / poseidon2 ------------------------------------------------------
 
+@_golden
 @_isolated
 def poseidon_hash(field: str, t: int, inputs: np.ndarray,
                   domain_tag: np.ndarray | None = None) -> np.ndarray:
@@ -169,6 +249,7 @@ def poseidon_hash(field: str, t: int, inputs: np.ndarray,
     return poseidon2_hash(field, t, inputs, domain_tag, creator="poseidon")
 
 
+@_golden
 @_isolated
 def poseidon2_hash(field: str, t: int, inputs: np.ndarray,
                    domain_tag: np.ndarray | None = None,
@@ -211,6 +292,7 @@ def poseidon2_hash(field: str, t: int, inputs: np.ndarray,
 _domain_initialized: set = set()
 
 
+@_golden
 @_isolated
 def ntt(field: str, inputs_u32: np.ndarray, logn_domain: int, inverse: bool = False,
         ordering: int = 0, batch: int = 1, coset_gen_le: np.ndarray | None = None
@@ -275,6 +357,7 @@ class MSMConfigC(C.Structure):
                 ("ext", C.c_void_p)]
 
 
+@_golden
 @_isolated
 def bn254_msm(scalars_u32: np.ndarray, points_u32: np.ndarray) -> np.ndarray:
     """Golden bn254 G1 MSM. scalars (n, 8) u32 canonical; points (n, 16) u32
@@ -301,6 +384,7 @@ def bn254_msm(scalars_u32: np.ndarray, points_u32: np.ndarray) -> np.ndarray:
     return out
 
 
+@_golden
 @_isolated
 def bn254_pairing(p_u32: np.ndarray, q_u32: np.ndarray) -> np.ndarray:
     """Golden bn254 optimal-ate pairing (src/pairing.cpp FFI).
@@ -321,6 +405,7 @@ def bn254_pairing(p_u32: np.ndarray, q_u32: np.ndarray) -> np.ndarray:
     return out
 
 
+@_golden
 @_isolated
 def babybear_fri_proof_reserialize(blob_in: bytes) -> bytes:
     """Round a serialized FriProof<babybear> through the reference
@@ -349,6 +434,7 @@ def babybear_fri_proof_reserialize(blob_in: bytes) -> bytes:
     return np.frombuffer(buf.raw, dtype=np.uint8)
 
 
+@_golden
 @_isolated
 def bn254_msm_precompute_bases(points_u32: np.ndarray, c: int,
                                precompute_factor: int) -> np.ndarray:

@@ -125,9 +125,8 @@ def test_msm_precompute_bases_reference_parity():
     """Precomputed bases byte-equal the reference msm_precompute_bases FFI."""
     import os
     from tests import ref_ffi
-    build = os.environ.get("ICICLE_REF_BUILD_BN254", "/tmp/icicle_build_bn254")
-    if not os.path.exists(os.path.join(build, "libicicle_curve_bn254.so")):
-        pytest.skip("bn254 reference build not present")
+    if not ref_ffi.bn254_available():
+        pytest.skip("bn254 reference build / golden store not present")
     from icicle_tpu.ops.msm import msm_precompute_bases, MSMConfig
     curve = get_curve("bn254")
     fq, mod = curve.fq, curve.fq.modulus

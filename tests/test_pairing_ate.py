@@ -81,9 +81,8 @@ def test_ate_frobenius_coeff_matches_reference_table():
 
 def test_ate_vs_reference_ffi():
     from tests import ref_ffi
-    build = os.environ.get("ICICLE_REF_BUILD_BN254", "/tmp/icicle_build_bn254")
-    if not os.path.exists(os.path.join(build, "libicicle_curve_bn254.so")):
-        pytest.skip("bn254 reference build not present")
+    if not ref_ffi.bn254_available():
+        pytest.skip("bn254 reference build / golden store not present")
     cfg, tw, p, tabs, twist_muls, b_twist = _setup("bn254")
     curve = get_curve("bn254")
     g1 = ec_mul((curve.gen_x, curve.gen_y), 7, p)

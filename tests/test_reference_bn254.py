@@ -12,10 +12,9 @@ from icicle_tpu.ops.msm import msm
 from tests import ref_ffi
 from tests.ec_ref import ec_mul
 
-BUILD = os.environ.get("ICICLE_REF_BUILD_BN254", "/tmp/icicle_build_bn254")
 needs_bn254 = pytest.mark.skipif(
-    not os.path.exists(os.path.join(BUILD, "libicicle_curve_bn254.so")),
-    reason="bn254 reference build unavailable")
+    not ref_ffi.bn254_available(),
+    reason="bn254 reference build / golden store unavailable")
 
 
 @needs_bn254

@@ -7,7 +7,7 @@ FIELD=${1:-babybear}
 # curves use -DCURVE=<name>; fields use -DFIELD=<name> (reference cmake/features.cmake)
 case "$FIELD" in
   bn254|bls12_381|bls12_377|bw6_761|grumpkin) TARGET_FLAG="-DCURVE=$FIELD" ;;
-  *) TARGET_FLAG="$TARGET_FLAG" ;;
+  *) TARGET_FLAG="-DFIELD=$FIELD" ;;
 esac
 STUB=/tmp/taskflow_stub
 BUILD=${ICICLE_REF_BUILD:-/tmp/icicle_build}
