@@ -362,7 +362,7 @@ def _prep_fn3(curve_name: str, n_pad: int, tiles: int, T: int,
 def msm_tpu3(curve_name: str, scalars, points_x, points_y,
              c: int | None = None, T: int | None = None,
              backend: str = "pallas", engine: str | None = None,
-             precompute_factor: int = 1):
+             precompute_factor: int = 1, wg: int | None = None):
     """Prefix-scan MSM. scalars (N, Ls) canonical u32 limbs; points canonical
     affine (N, L). Returns canonical affine (x, y) python ints ((0,0) = INF).
 
@@ -400,7 +400,7 @@ def msm_tpu3(curve_name: str, scalars, points_x, points_y,
         assert nu & (nu - 1) == 0, "precompute_factor must be a power of two"
         assert n == nu * scalars.shape[0], \
             "points must be msm_precompute_bases output (nu*N rows)"
-    c, M, T, tiles, n_windows, wg = _plan3(n, c, nbits, T)
+    c, M, T, tiles, n_windows, wg = _plan3(n, c, nbits, T, wg)
     n_pad = tiles * T
     if nu > 1:
         assert n_pad % nu == 0
