@@ -36,7 +36,6 @@ from icicle_tpu.ops import ntt as N
 from icicle_tpu.ops.hash.hash import Hash
 from icicle_tpu.ops.merkle import MerkleTree, MerkleProof
 from icicle_tpu.runtime.config import MerkleTreeConfig
-from icicle_tpu.utils import keccak_py
 from icicle_tpu.utils import native as _native
 
 

@@ -16,7 +16,7 @@ import dataclasses
 
 import numpy as np
 
-from icicle_tpu.ops.pqc.keccak_np import sha3_256, sha3_512, shake128, shake256
+from icicle_tpu.utils.keccak_np import sha3_256, sha3_512, shake128, shake256
 
 Q = 3329
 N = 256

@@ -33,7 +33,6 @@ import jax.numpy as jnp
 
 from icicle_tpu.fields.field import Field
 from icicle_tpu.ops.program import ReturningValueProgram
-from icicle_tpu.utils import keccak_py
 from icicle_tpu.utils import native as _native
 
 MAX_COMBINE_POLY_DEG = 6   # sumcheck.h:12
