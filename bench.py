@@ -55,6 +55,11 @@ def _bench_msm() -> None:
     nu = int(os.environ.get("BENCH_MSM_NU", "1"))
     c = int(os.environ.get("BENCH_MSM_C", "0")) or None
     kw = {"backend": "pallas", "c": c}
+    if os.environ.get("BENCH_MSM_T"):
+        kw["T"] = int(os.environ["BENCH_MSM_T"])
+    if (os.environ.get("BENCH_MSM_WG")
+            and os.environ.get("BENCH_MSM_PIPELINE", "v3") == "v3"):
+        kw["wg"] = int(os.environ["BENCH_MSM_WG"])
     if nu > 1:
         # precompute is setup, not MSM work (reference perf tables also
         # exclude it); requires the v3 pipeline + an explicit c
