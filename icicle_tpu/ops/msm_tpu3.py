@@ -14,11 +14,17 @@ kernel-level rationale. Per window:
      add, no flags), E streamed to HBM
   5. run-end prefixes extracted by one-hot matmuls over the E-stream bytes
      (exact byte selection, MXU) -> dense per-tile bucket arrays B_k^t
-  6. cross-tile fold-halves reduce (work ~ tiles*M, not tiles*M*log) ->
-     per-window buckets B_k
-  7. weighted reduction sum_k k*B_k = sum_k SuffixSum_k via a log2(M)
-     Hillis-Steele suffix scan + fold (XLA)
+     (per-tile prefix fill-forward happens per extraction chunk)
+  6. cross-tile reduce (work ~ tiles*M) via the ec_reduce Mosaic kernel
+     -> per-window filled prefixes S_j
+  7. weighted reduction sum_k k*B_k = sum_j S_j: two-pass ec_reduce over
+     the bucket axis (windows ride the lanes)
   8. window Horner on host ints.
+
+All EC reductions outside the prefix-scan kernel run as Pallas kernels
+(pallas/ec_reduce.py): expressing them as XLA fold-halves trees with
+unrolled comba montmuls made remote TPU compiles infeasible at 2^20+
+(45+ min / OOM) — the round-3 blocker on this pipeline.
 
 The kernel does 13 montmuls/slot on exactly n*W slots (v2: 27 on
 (n + tiles*2^(c-1))*W slots); the MXU (idle in v2) absorbs the extraction.
@@ -37,6 +43,7 @@ from icicle_tpu.curves.params import get_curve
 from icicle_tpu.curves.host_ec import ec_add, ec_dbl, INF
 from icicle_tpu.ops.msm_tpu2 import _signed_digits_t
 from icicle_tpu.pallas.msm_scan import make_prefix_scan, make_prefix_scan_xla
+from icicle_tpu.pallas.ec_reduce import make_ec_reduce, make_ec_reduce_xla
 
 _IDX_BITS = 13
 _NEG_BIT = 13
@@ -92,7 +99,6 @@ def _join_u32(cols):
 def _jitted_pipeline3(curve_name: str, c: int, nbits: int, n_pad: int, T: int,
                       tiles: int, wg: int, backend: str,
                       engine: str = "u32", nu: int = 1):
-    from icicle_tpu.curves.group import get_group, Projective
     from icicle_tpu.math.bigint import mul_mode
     import contextlib
 
@@ -112,8 +118,21 @@ def _jitted_pipeline3(curve_name: str, c: int, nbits: int, n_pad: int, T: int,
     C = wg * tiles
     b = max(1, 1024 // wg)
     B_g = min(tiles, 1 << (b.bit_length() - 1))
-    G = wg * B_g
+    G = wg * B_g                  # kernel/extraction lane group (<=1024)
     ng_chunks = C // G
+    # One-hot operands are never materialized whole: the permute chunk size
+    # and the extraction bucket-block size are bounded so each transient
+    # one-hot stays under a byte budget (at 2^24 the full (C, K, T) permute
+    # one-hot would be ~68 GB).
+    import os as _os
+    oh_budget = int(_os.environ.get("ICICLE_TPU_MSM_OH_BUDGET",
+                                    str(2 << 30)))
+    B_p = max(1, min(B_g, oh_budget // max(wg * K * T, 1)))
+    B_p = 1 << (B_p.bit_length() - 1)
+    G_p = wg * B_p                # permute chunk lanes
+    ng_p = tiles // B_p
+    MB = max(1, min(M, oh_budget // max(G * K, 1)))
+    MB = 1 << (MB.bit_length() - 1)
 
     if engine == "r12":
         from icicle_tpu.pallas.msm_scan_r12 import (
@@ -135,11 +154,22 @@ def _jitted_pipeline3(curve_name: str, c: int, nbits: int, n_pad: int, T: int,
         else:
             scan = make_prefix_scan_xla(curve_name, K, C)
 
-    group = get_group(curve_name)
     p32 = [np.uint32(v) for v in fq.engine.p32]
     one_mont = np.asarray(fq.params.const_limbs32(fq.params.r % fq.modulus),
                           dtype=np.uint32)
     iota_t = jnp.arange(T, dtype=jnp.uint32)
+
+    # EC reductions as Mosaic kernels (XLA twins for CPU): cross-tile bucket
+    # fold and the two-pass per-window bucket sum (sum_k k*B_k = sum_j S_j
+    # over the filled prefixes).
+    mk_reduce = make_ec_reduce if backend == "pallas" else make_ec_reduce_xla
+    reduce_tiles = mk_reduce(curve_name, tiles, wg * M)
+    M2 = min(M, 128)
+    M1 = M // M2
+    n_groups_w = -(-n_windows // wg)
+    w_pad_k = n_groups_w * wg
+    reduce_m1 = mk_reduce(curve_name, M1, w_pad_k * M2) if M1 > 1 else None
+    reduce_m2 = mk_reduce(curve_name, M2, w_pad_k)
 
     def group_fn(points_u8, digits_g):
         """points_u8 (tiles, T, 8L) int8 Montgomery coord bytes (x||y);
@@ -161,49 +191,71 @@ def _jitted_pipeline3(curve_name: str, c: int, nbits: int, n_pad: int, T: int,
         sneg_t = jnp.transpose(sneg, (1, 0, 2))
 
         def permute_chunk(_, args):
-            si, pb, ng_c = args  # (B_g, wg, K), (B_g, T, 8L), (B_g, wg, K)
+            si, pb, ng_c = args  # (B_p, wg, K), (B_p, T, 8L), (B_p, wg, K)
             oh = (si.reshape(-1, wg * K)[:, :, None] ==
                   jax.lax.broadcasted_iota(jnp.int32, (1, 1, T), 2)
-                  ).astype(jnp.int8)                      # (B_g, wg*K, T)
+                  ).astype(jnp.int8)                      # (B_p, wg*K, T)
             out = jax.lax.dot_general(
                 oh, pb, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.int32)         # (B_g, wg*K, 8L)
-            limbs = _join_u32(out.reshape(B_g, wg, K, 8 * nl))  # (..., 2L)
+                preferred_element_type=jnp.int32)         # (B_p, wg*K, 8L)
+            limbs = _join_u32(out.reshape(B_p, wg, K, 8 * nl))  # (..., 2L)
             x = limbs[..., :nl]
             y = limbs[..., nl:]
             pc = jnp.asarray(np.array([int(v) for v in p32], np.uint32))
             yneg = _sub_mod_limbs(pc, y)
-            y = jnp.where((ng_c.reshape(B_g, wg, K) == 1)[..., None],
+            y = jnp.where((ng_c.reshape(B_p, wg, K) == 1)[..., None],
                           yneg, y)
-            xy = jnp.concatenate([x, y], axis=-1)         # (B_g, wg, K, 2L)
-            # kernel layout (K, 2L, G), in-group lane = tile_in_block*wg + w
-            return None, jnp.transpose(xy, (2, 3, 0, 1)).reshape(K, 2 * nl, G)
+            xy = jnp.concatenate([x, y], axis=-1)         # (B_p, wg, K, 2L)
+            # chunk layout (K, 2L, G_p), lane = tile_in_chunk*wg + w
+            return None, jnp.transpose(xy, (2, 3, 0, 1)).reshape(
+                K, 2 * nl, G_p)
 
         _, perm = jax.lax.scan(
             permute_chunk, None,
-            (sid_t.reshape(ng_chunks, B_g, wg, K),
-             points_u8.reshape(ng_chunks, B_g, T, 8 * nl),
-             sneg_t.reshape(ng_chunks, B_g, wg, K).astype(jnp.int32)))
+            (sid_t.reshape(ng_p, B_p, wg, K),
+             points_u8.reshape(ng_p, B_p, T, 8 * nl),
+             sneg_t.reshape(ng_p, B_p, wg, K).astype(jnp.int32)))
+
+        if G_p != G:
+            # permute-chunk lanes -> kernel lane groups (same global order)
+            r = G // G_p
+            perm = jnp.transpose(
+                perm.reshape(ng_chunks, r, K, 2 * nl, G_p),
+                (0, 2, 3, 1, 4)).reshape(ng_chunks, K, 2 * nl, G)
 
         estream = scan(perm)                              # (ng, K, 3L, G)
 
-        # extraction: per lane, one-hot over run-end slots -> buckets 1..M
-        # OH (G, K, M) int8; E bytes (G, K, 12L) int8; contract K on the MXU
-        ohm = jnp.transpose(
-            (skey[:, :, :, None] ==
-             (jnp.uint32(M) - jax.lax.broadcasted_iota(
-                 jnp.uint32, (1, 1, 1, M), 3)).astype(jnp.int32))
-            & is_end[:, :, :, None], (1, 0, 2, 3))        # (tiles, wg, K, M)
-        ohm = ohm.reshape(ng_chunks, B_g * wg, K, M).astype(jnp.int8)
+        # extraction inputs in lane order (lane = tile*wg + w)
+        skey_l = jnp.transpose(skey, (1, 0, 2)).reshape(ng_chunks, G, K)
+        isend_l = jnp.transpose(is_end, (1, 0, 2)).reshape(ng_chunks, G, K)
+
+        ident_row = jnp.concatenate(
+            [jnp.zeros((nl,), jnp.uint32), jnp.asarray(one_mont),
+             jnp.zeros((nl,), jnp.uint32)])
 
         def extract_chunk(_, args):
-            oh, es = args      # (G, K, M) int8, (K, 3L, G) u32
+            sk, ie, es = args  # (G, K) i32, (G, K) bool, (K, 3L, G) u32
             eb = _bytes_i8(es)                            # (K, 12L, G) int8
             eb = jnp.transpose(eb, (2, 0, 1))             # (G, K, 12L)
-            out = jax.lax.dot_general(
-                oh, eb, (((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.int32)         # (G, M, 12L)
-            bk = _join_u32(out)                           # (G, M, 3L)
+
+            # per lane, one-hot over run-end slots -> buckets, MB at a time
+            # (the full (G, K, M) one-hot would blow the byte budget)
+            def mblock(_, j):
+                ids = (jnp.int32(M) - j * MB
+                       - jax.lax.broadcasted_iota(jnp.int32, (1, 1, MB), 2))
+                oh = ((sk[:, :, None] == ids)
+                      & ie[:, :, None]).astype(jnp.int8)  # (G, K, MB)
+                out = jax.lax.dot_general(
+                    oh, eb, (((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.int32)     # (G, MB, 12L)
+                return None, _join_u32(out)               # (G, MB, 3L)
+
+            if M > MB:
+                _, bkb = jax.lax.scan(mblock, None,
+                                      jnp.arange(M // MB, dtype=jnp.int32))
+                bk = jnp.transpose(bkb, (1, 0, 2, 3)).reshape(G, M, 3 * nl)
+            else:
+                bk = mblock(None, jnp.int32(0))[1]        # (G, M, 3L)
             if unshift is not None:
                 # r12 engine: domain-shift X*2^rbits (< 4p) -> X*2^(32L),
                 # canonical. CIOS tolerates a < 4p since 4p < 2^(32L).
@@ -211,50 +263,41 @@ def _jitted_pipeline3(curve_name: str, c: int, nbits: int, n_pad: int, T: int,
                 bk = jnp.concatenate(
                     [fq.mul_mont(bk[..., i * nl:(i + 1) * nl], sh)
                      for i in range(3)], axis=-1)
-            return None, bk
+            bk = bk.reshape(B_g, wg, M, 3 * nl)
 
-        _, buckets = jax.lax.scan(extract_chunk, None, (ohm, estream))
-        buckets = buckets.reshape(tiles, wg, M, 3 * nl)
+            # The extracted value at key j is the tile prefix S_j = sum of
+            # the tile's points with |digit| >= j. Keys ABSENT from a tile
+            # must replicate the nearest higher key's prefix (v2 forced this
+            # with 2^(c-1) dummy slots per tile; here it is a log2(M)-round
+            # fill-forward of SELECTS along the descending bucket axis).
+            # Present rows are never all-zero (complete-formula identities
+            # have Y != 0), so all-zero identifies absence exactly.
+            present = jnp.any(bk != 0, axis=-1)           # (B_g, wg, M)
+            filled = bk
+            d = 1
+            while d < M:
+                shifted = jnp.concatenate(
+                    [jnp.zeros((B_g, wg, d, 3 * nl), jnp.uint32),
+                     filled[:, :, :-d]], axis=2)
+                pshift = jnp.concatenate(
+                    [jnp.zeros((B_g, wg, d), bool), present[:, :, :-d]],
+                    axis=2)
+                filled = jnp.where(present[..., None], filled, shifted)
+                present = present | pshift
+                d *= 2
+            bk = jnp.where(present[..., None], filled, ident_row)
+            # kernel-friendly layout for the cross-tile reduce: lane = w*M+k
+            return None, jnp.transpose(
+                bk.reshape(B_g, wg * M, 3 * nl), (0, 2, 1))
 
-        # The extracted value at key j is the tile prefix S_j = sum of the
-        # tile's points with |digit| >= j. Keys ABSENT from a tile must
-        # replicate the nearest higher key's prefix (v2 forced this with
-        # 2^(c-1) dummy slots per tile; here it is a log2(M)-round
-        # fill-forward of SELECTS along the descending bucket axis).
-        # Present rows are never all-zero (complete-formula identities have
-        # Y != 0), so all-zero identifies absence exactly.
-        present = jnp.any(buckets != 0, axis=-1)          # (tiles, wg, M)
-        filled = buckets
-        d = 1
-        while d < M:
-            shifted = jnp.concatenate(
-                [jnp.zeros((tiles, wg, d, 3 * nl), jnp.uint32),
-                 filled[:, :, :-d]], axis=2)
-            pshift = jnp.concatenate(
-                [jnp.zeros((tiles, wg, d), bool), present[:, :, :-d]],
-                axis=2)
-            filled = jnp.where(present[..., None], filled, shifted)
-            present = present | pshift
-            d *= 2
-        ident_row = jnp.concatenate(
-            [jnp.zeros((nl,), jnp.uint32), jnp.asarray(one_mont),
-             jnp.zeros((nl,), jnp.uint32)])
-        buckets = jnp.where(present[..., None], filled, ident_row)
+        _, buckets = jax.lax.scan(extract_chunk, None,
+                                  (skey_l, isend_l, estream))
+        buckets = buckets.reshape(tiles, 3 * nl, wg * M)
 
-        # cross-tile fold-halves: work tiles*M*wg adds total
-        def fold(b):
-            while b.shape[0] > 1:
-                h = b.shape[0] // 2
-                lo, hi = b[:h], b[h:]
-                s = group.add(
-                    Projective(lo[..., :nl], lo[..., nl:2 * nl],
-                               lo[..., 2 * nl:]),
-                    Projective(hi[..., :nl], hi[..., nl:2 * nl],
-                               hi[..., 2 * nl:]))
-                b = jnp.concatenate([s.x, s.y, s.z], axis=-1)
-            return b[0]                                   # (wg, M, 3L)
-
-        return fold(buckets)
+        # cross-tile reduce (Pippenger phase-2 analog): ONE Mosaic kernel
+        # reused for all rows — tree-folding this in XLA with unrolled
+        # montmuls was the 2^20+ compile bomb (see pallas/ec_reduce.py).
+        return reduce_tiles(buckets)                      # (3L, wg*M)
 
     n_groups = -(-n_windows // wg)
     w_pad = n_groups * wg
@@ -278,25 +321,23 @@ def _jitted_pipeline3(curve_name: str, c: int, nbits: int, n_pad: int, T: int,
             def body(_, dg):
                 return None, group_fn(points_u8, dg)
 
-            _, buckets = jax.lax.scan(body, None, digits)  # (ngw,wg,M,3L)
-            buckets = buckets.reshape(w_pad, M, 3 * nl)[:n_windows]
+            _, buckets = jax.lax.scan(body, None, digits)  # (ngw, 3L, wg*M)
 
             # window sum = sum_k k*B_k = sum over all M filled prefixes
-            # (per-tile fill already happened in group_fn): fold-halves
-            def padd_flat(a, b):
-                s = group.add(
-                    Projective(a[..., :nl], a[..., nl:2 * nl],
-                               a[..., 2 * nl:]),
-                    Projective(b[..., :nl], b[..., nl:2 * nl],
-                               b[..., 2 * nl:]))
-                return jnp.concatenate([s.x, s.y, s.z], axis=-1)
-
-            S = buckets
-            while S.shape[1] > 1:
-                h = S.shape[1] // 2
-                S = padd_flat(S[:, :h], S[:, h:])
-            total = S[:, 0]                               # (W, 3L)
-            return total.reshape(n_windows, 3, nl)
+            # (per-tile fill already happened in group_fn): two-pass EC
+            # reduce over the bucket axis, window index riding the lanes.
+            bk = buckets.reshape(n_groups, 3 * nl, wg, M)
+            bk = jnp.transpose(bk, (3, 1, 0, 2)).reshape(
+                M, 3 * nl, w_pad)                         # lane = g*wg + w
+            if M1 > 1:
+                b2 = jnp.transpose(
+                    bk.reshape(M1, M2, 3 * nl, w_pad),
+                    (0, 2, 3, 1)).reshape(M1, 3 * nl, w_pad * M2)
+                r1 = reduce_m1(b2).reshape(3 * nl, w_pad, M2)
+                bk = jnp.transpose(r1, (2, 0, 1))         # (M2, 3L, w_pad)
+            total = reduce_m2(bk)                         # (3L, w_pad)
+            return jnp.transpose(total[:, :n_windows]).reshape(
+                n_windows, 3, nl)
 
     return run
 

@@ -26,6 +26,28 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+# fast/slow lanes (VERDICT r3 ask): modules dominated by big jitted pipelines
+# or subprocess builds are `slow`; everything else is `fast`. The fast lane
+# (`pytest -m fast`) must stay under ~10 min on this 1-core host.
+_SLOW_MODULES = {
+    "test_msm_tpu.py", "test_msm_tpu2.py", "test_msm_tpu3.py",
+    "test_msm_r12.py", "test_msm_sharded.py", "test_two_level.py",
+    "test_ml_kem.py", "test_ml_kem_tpu.py", "test_pairing_ate.py",
+    "test_capi.py", "test_reference_vectors.py", "test_fri.py",
+    "test_sumcheck.py", "test_blake3.py", "test_sharded.py",
+    "test_ecntt.py", "test_glv.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        name = os.path.basename(str(item.fspath))
+        if name in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+        else:
+            item.add_marker(pytest.mark.fast)
+
+
 @pytest.fixture
 def rng():
     """Seeded numpy RNG; the seed is logged so failures are reproducible
