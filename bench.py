@@ -1,18 +1,23 @@
 """Headline benchmarks on the local accelerator.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Defaults follow the driver's north-star configs (BASELINE.json): babybear
-NTT at 2^26 butterflies/s; BENCH_KERNEL=msm switches to bn254 G1 MSM
-points/s at 2^24 via the suffix-fold pipeline, verified against a host
-oracle (the points are a repeated real curve point, so the result must
-equal (sum of scalars) * P — the bench doubles as a correctness gate).
+Default (no BENCH_KERNEL): runs ALL THREE headline kernels and prints one
+JSON line each — bn254 MSM points/s, babybear Poseidon2-Merkle leaves/s,
+then babybear NTT butterflies/s LAST (the driver parses the final line;
+the MSM/Merkle lines ride immediately before it, VERDICT r3 ask #2).
+BENCH_KERNEL=ntt|msm|merkle runs a single kernel.
 
-Env knobs: BENCH_LOGN (default 26 / 24 for msm), BENCH_BATCH,
-BENCH_KERNEL=ntt|msm, BENCH_NTT_BACKEND=auto|xla|pallas,
+Every MSM run is verified against a host oracle (the points are a repeated
+real curve point, so the result must equal (sum of scalars) * P — the bench
+doubles as a correctness gate).
+
+Env knobs: BENCH_LOGN (single-kernel mode; default 26 ntt / 24 msm/merkle),
+BENCH_MSM_LOGN / BENCH_MERKLE_LOGN / BENCH_NTT_LOGN (all-mode overrides),
+BENCH_BATCH, BENCH_NTT_BACKEND=auto|xla|pallas,
 BENCH_MSM_PIPELINE=v3|v2 (prefix-scan vs suffix-fold),
 BENCH_MSM_NU=1|2|4|8 (precompute_factor; bases built by
 msm_precompute_bases outside the timed region, v3 only),
-BENCH_MSM_C (explicit window bits; required when BENCH_MSM_NU>1).
+BENCH_MSM_C / BENCH_MSM_T / BENCH_MSM_WG (explicit v3 parameters; default
+comes from the measured tuning table icicle_tpu/data/msm_tuning.json).
 """
 
 import json
@@ -21,8 +26,9 @@ import sys
 import time
 
 
-def _bench_msm() -> None:
-    size_log = int(os.environ.get("BENCH_LOGN", "24"))
+def _bench_msm(size_log: int | None = None) -> None:
+    if size_log is None:
+        size_log = int(os.environ.get("BENCH_LOGN", "24"))
     import numpy as np
 
     from icicle_tpu.curves.params import get_curve
@@ -105,11 +111,12 @@ def _bench_msm() -> None:
         sys.exit(1)
 
 
-def _bench_merkle() -> None:
+def _bench_merkle(size_log: int | None = None) -> None:
     """Poseidon2 binary Merkle tree over 2^BENCH_LOGN babybear leaves
     (reference headline: Poseidon tree, 2^29 leaves, 9.4 s on RTX 3090 Ti —
     docs/api/cpp/_poseidon.md:211-227)."""
-    size_log = int(os.environ.get("BENCH_LOGN", "24"))
+    if size_log is None:
+        size_log = int(os.environ.get("BENCH_LOGN", "24"))
     import numpy as np
     import jax
 
@@ -146,14 +153,28 @@ def _bench_merkle() -> None:
 
 
 def main() -> None:
-    kernel = os.environ.get("BENCH_KERNEL", "ntt")
+    kernel = os.environ.get("BENCH_KERNEL", "all")
     if kernel == "msm":
         _bench_msm()
         return
     if kernel == "merkle":
         _bench_merkle()
         return
-    size_log = int(os.environ.get("BENCH_LOGN", "26"))
+    if kernel == "all":
+        # MSM + Merkle headline lines ride before the final NTT line (the
+        # driver parses the LAST line; these land in the artifact tail).
+        # A failure in either must not lose the driver metric.
+        for fn, env, dflt in ((_bench_msm, "BENCH_MSM_LOGN", 24),
+                              (_bench_merkle, "BENCH_MERKLE_LOGN", 26)):
+            try:
+                fn(int(os.environ.get(env, str(dflt))))
+            except SystemExit:
+                pass  # bit_exact=false already printed on its own line
+            except Exception as exc:  # noqa: BLE001 - report, keep going
+                print(json.dumps({"metric": f"{fn.__name__}_failed",
+                                  "error": f"{type(exc).__name__}: {exc}"[:200]}))
+    size_log = int(os.environ.get("BENCH_NTT_LOGN",
+                                  os.environ.get("BENCH_LOGN", "26")))
     batch = int(os.environ.get("BENCH_BATCH", "1"))
     backend = os.environ.get("BENCH_NTT_BACKEND", None)
 

@@ -88,3 +88,94 @@ def poseidon2(field: str, t: int, inputs: bytes, batch: int) -> bytes:
 def keccak256(data: bytes, chunk_bytes: int, batch: int) -> bytes:
     from icicle_tpu.ops.hash.keccak import Keccak256
     return Keccak256().hash_bytes(data or b"", batch=batch)
+
+
+def vec_op(field: str, op: str, a: bytes, b: bytes, n: int) -> bytes:
+    """Elementwise field vec_ops (reference vec_ops.h add/sub/mul FFI)."""
+    from icicle_tpu.fields.field import get_field
+    from icicle_tpu.ops import vec_ops as V
+
+    f = get_field(field)
+    shape = (n,) if f.nlimbs == 1 else (n, f.nlimbs)
+    av = np.frombuffer(a, dtype="<u4").reshape(shape)
+    bv = np.frombuffer(b, dtype="<u4").reshape(shape)
+    fn = {"add": V.vector_add, "sub": V.vector_sub, "mul": V.vector_mul}[op]
+    return np.asarray(fn(f, av, bv)).astype("<u4").tobytes()
+
+
+def poseidon2_sponge(field: str, t: int, in_words: int, inputs: bytes,
+                     batch: int) -> bytes:
+    """Arbitrary-width Poseidon2 (sponge mode when in_words != t)."""
+    from icicle_tpu.fields.field import get_field
+    from icicle_tpu.ops.hash.poseidon2 import Poseidon2
+
+    f = get_field(field)
+    arr = np.frombuffer(inputs, dtype="<u4").reshape(batch, in_words)
+    out = Poseidon2(f, t).hash_fields(arr)
+    return np.asarray(out).astype("<u4").tobytes()
+
+
+def _merkle_tree(field: str, depth: int):
+    from icicle_tpu.fields.field import get_field
+    from icicle_tpu.ops.hash.poseidon2 import Poseidon2
+    from icicle_tpu.ops.merkle import MerkleTree
+
+    f = get_field(field)
+    return MerkleTree([Poseidon2(f, 2)] * depth, leaf_words=f.nlimbs), f
+
+
+def merkle_build(field: str, leaves: bytes, n_leaves: int) -> bytes:
+    """Poseidon2 arity-2 tree; returns the root words (merkle_tree.h FFI)."""
+    depth = (n_leaves - 1).bit_length()
+    tree, f = _merkle_tree(field, depth)
+    arr = np.frombuffer(leaves, dtype="<u4").reshape(n_leaves, f.nlimbs)
+    root = tree.build(arr)
+    return np.asarray(root).astype("<u4").tobytes()
+
+
+def merkle_proof(field: str, leaves: bytes, n_leaves: int,
+                 leaf_idx: int) -> bytes:
+    """Build + extract one pruned proof, serialized (merkle_proof.h layout)."""
+    depth = (n_leaves - 1).bit_length()
+    tree, f = _merkle_tree(field, depth)
+    arr = np.frombuffer(leaves, dtype="<u4").reshape(n_leaves, f.nlimbs)
+    tree.build(arr)
+    return tree.get_merkle_proof(arr, leaf_idx, pruned=True).serialize()
+
+
+def merkle_verify(field: str, proof: bytes) -> int:
+    from icicle_tpu.ops.merkle import MerkleProof
+
+    from icicle_tpu.fields.field import get_field
+    f = get_field(field)
+    p = MerkleProof.deserialize(proof)
+    path_words = sum(seg.size for seg in p.path)
+    depth = path_words // f.nlimbs        # arity-2 pruned: 1 sibling/layer
+    tree, _ = _merkle_tree(field, depth)
+    return int(tree.verify(p))
+
+
+def sumcheck_prove_abc(field: str, mles: bytes, n: int,
+                       claimed_sum: bytes) -> bytes:
+    """Sumcheck with the predefined a*b-c combine over 3 MLEs of size n
+    (reference sumcheck.h FFI + PreDefinedPrograms::AB_MINUS_C)."""
+    from icicle_tpu.fields.field import get_field
+    from icicle_tpu.ops.program import PreDefined, ReturningValueProgram
+    from icicle_tpu.ops.sumcheck import sumcheck_prove
+
+    f = get_field(field)
+    shape = (3, n) if f.nlimbs == 1 else (3, n, f.nlimbs)
+    arr = np.frombuffer(mles, dtype="<u4").reshape(shape)
+    cs = int.from_bytes(claimed_sum, "little")
+    combine = ReturningValueProgram(PreDefined.AB_MINUS_C)
+    proof, _ = sumcheck_prove(f, [arr[0], arr[1], arr[2]], cs, combine)
+    return proof.serialize(f)
+
+
+def sumcheck_verify_abc(field: str, claimed_sum: bytes, proof: bytes) -> int:
+    from icicle_tpu.fields.field import get_field
+    from icicle_tpu.ops.sumcheck import SumcheckProof, sumcheck_verify
+
+    f = get_field(field)
+    cs = int.from_bytes(claimed_sum, "little")
+    return int(sumcheck_verify(f, SumcheckProof.deserialize(f, proof), cs))

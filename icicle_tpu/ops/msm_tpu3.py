@@ -379,13 +379,20 @@ def _prep_fn3(curve_name: str, n_pad: int, tiles: int, T: int,
 
     @jax.jit
     def prep(px_t, py_t):
+        from icicle_tpu.math.bigint import mul_mode
+
         def body(cols):
             x_t, y_t = cols
-            xm = fq.to_mont(x_t.T)
-            ym = fq.to_mont(y_t.T)
-            if shift is not None:
-                xm = fq.mul_mont(xm, shift)
-                ym = fq.mul_mont(ym, shift)
+            # unrolled montmul: per-limb (ch,) arrays — small graph (the
+            # body compiles once), full-width VPU ops, and it sidesteps the
+            # (ch, L) trailing-small-axis tiling trap. The loop-form montmul
+            # here cost 1.6 s at 2^20 (2x the whole bucket pipeline).
+            with mul_mode("unrolled"):
+                xm = fq.to_mont(x_t.T)
+                ym = fq.to_mont(y_t.T)
+                if shift is not None:
+                    xm = fq.mul_mont(xm, shift)
+                    ym = fq.mul_mont(ym, shift)
             limbs = jnp.concatenate([xm, ym], axis=-1)    # (ch, 2L)
             b = jnp.stack([limbs & 0xFF, (limbs >> 8) & 0xFF,
                            (limbs >> 16) & 0xFF, (limbs >> 24) & 0xFF],

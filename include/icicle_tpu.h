@@ -59,6 +59,48 @@ int icicle_tpu_poseidon2(const char* field, int t, const uint32_t* inputs,
 int icicle_tpu_keccak256(const uint8_t* data, size_t chunk_bytes,
                          size_t batch, uint8_t* out);
 
+/* Elementwise field vector op; op: "add" | "sub" | "mul".
+ * a, b, out: n * limbs uint32 canonical. (reference vec_ops.h FFI) */
+int icicle_tpu_vec_op(const char* field, const char* op, const uint32_t* a,
+                      const uint32_t* b, size_t n, uint32_t* out);
+
+/* Poseidon2 sponge over `field`: batch items of in_words field elements
+ * each (sponge mode when in_words != t); out: batch digests. */
+int icicle_tpu_poseidon2_sponge(const char* field, int t, size_t in_words,
+                                const uint32_t* inputs, size_t batch,
+                                uint32_t* out);
+
+/* Poseidon2 arity-2 Merkle tree over n_leaves single-element leaves
+ * (n_leaves a power of two). root_out: limbs uint32.
+ * (reference merkle_tree.h FFI) */
+int icicle_tpu_merkle_build(const char* field, const uint32_t* leaves,
+                            size_t n_leaves, uint32_t* root_out);
+
+/* Build + extract one pruned proof, serialized in the reference
+ * BinarySerializer<MerkleProof> layout. On entry *proof_len is the
+ * capacity of proof_out; on success it holds the bytes written. */
+int icicle_tpu_merkle_proof(const char* field, const uint32_t* leaves,
+                            size_t n_leaves, uint64_t leaf_idx,
+                            uint8_t* proof_out, size_t* proof_len);
+
+/* Verify a serialized pruned proof; *ok_out = 1 valid / 0 invalid. */
+int icicle_tpu_merkle_verify(const char* field, const uint8_t* proof,
+                             size_t proof_len, int* ok_out);
+
+/* Sumcheck prove with the predefined a*b-c combine over 3 MLEs of size n
+ * (n a power of two). mles: 3 * n * limbs uint32; claimed_sum: limbs
+ * uint32. Proof is serialized in the reference layout; capacity/written
+ * protocol as merkle_proof. (reference sumcheck.h FFI) */
+int icicle_tpu_sumcheck_prove_abc(const char* field, const uint32_t* mles,
+                                  size_t n, const uint32_t* claimed_sum,
+                                  uint8_t* proof_out, size_t* proof_len);
+
+/* Verify a serialized sumcheck proof; *ok_out = 1 valid / 0 invalid. */
+int icicle_tpu_sumcheck_verify_abc(const char* field,
+                                   const uint32_t* claimed_sum,
+                                   const uint8_t* proof, size_t proof_len,
+                                   int* ok_out);
+
 #ifdef __cplusplus
 } /* extern "C" */
 #endif

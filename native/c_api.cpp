@@ -252,4 +252,180 @@ int icicle_tpu_keccak256(const uint8_t* data, size_t chunk_bytes,
   return rc;
 }
 
+namespace {
+
+// Variable-size byte result: copy into (buf, *len) with capacity check.
+int copy_bytes_var(PyObject* res, uint8_t* buf, size_t* len) {
+  char* src = nullptr;
+  Py_ssize_t n = 0;
+  if (PyBytes_AsStringAndSize(res, &src, &n) != 0) {
+    set_error_from_python();
+    return 8;
+  }
+  if (static_cast<size_t>(n) > *len) {
+    g_last_error = "output buffer too small";
+    *len = static_cast<size_t>(n);
+    return 2;
+  }
+  std::memcpy(buf, src, n);
+  *len = static_cast<size_t>(n);
+  return 0;
+}
+
+}  // namespace
+
+int icicle_tpu_vec_op(const char* field, const char* op, const uint32_t* a,
+                      const uint32_t* b, size_t n, uint32_t* out) {
+  if (!g_shim) {
+    g_last_error = "icicle_tpu_init not called";
+    return 3;
+  }
+  Gil gil;
+  int limbs = icicle_tpu_field_limbs(field);
+  if (limbs <= 0) return 2;
+  size_t nbytes = n * limbs * 4;
+  PyObject* args = Py_BuildValue(
+      "(ssy#y#n)", field, op, reinterpret_cast<const char*>(a),
+      static_cast<Py_ssize_t>(nbytes), reinterpret_cast<const char*>(b),
+      static_cast<Py_ssize_t>(nbytes), static_cast<Py_ssize_t>(n));
+  PyObject* res = shim_call("vec_op", args);
+  Py_DECREF(args);
+  if (!res) return 8;
+  int rc = copy_bytes_out(res, out, nbytes);
+  Py_DECREF(res);
+  return rc;
+}
+
+int icicle_tpu_poseidon2_sponge(const char* field, int t, size_t in_words,
+                                const uint32_t* inputs, size_t batch,
+                                uint32_t* out) {
+  if (!g_shim) {
+    g_last_error = "icicle_tpu_init not called";
+    return 3;
+  }
+  Gil gil;
+  int limbs = icicle_tpu_field_limbs(field);
+  if (limbs <= 0) return 2;
+  PyObject* args = Py_BuildValue(
+      "(siny#n)", field, t, static_cast<Py_ssize_t>(in_words),
+      reinterpret_cast<const char*>(inputs),
+      static_cast<Py_ssize_t>(batch * in_words * limbs * 4),
+      static_cast<Py_ssize_t>(batch));
+  PyObject* res = shim_call("poseidon2_sponge", args);
+  Py_DECREF(args);
+  if (!res) return 8;
+  int rc = copy_bytes_out(res, out, batch * limbs * 4);
+  Py_DECREF(res);
+  return rc;
+}
+
+int icicle_tpu_merkle_build(const char* field, const uint32_t* leaves,
+                            size_t n_leaves, uint32_t* root_out) {
+  if (!g_shim) {
+    g_last_error = "icicle_tpu_init not called";
+    return 3;
+  }
+  Gil gil;
+  int limbs = icicle_tpu_field_limbs(field);
+  if (limbs <= 0) return 2;
+  PyObject* args = Py_BuildValue(
+      "(sy#n)", field, reinterpret_cast<const char*>(leaves),
+      static_cast<Py_ssize_t>(n_leaves * limbs * 4),
+      static_cast<Py_ssize_t>(n_leaves));
+  PyObject* res = shim_call("merkle_build", args);
+  Py_DECREF(args);
+  if (!res) return 8;
+  int rc = copy_bytes_out(res, root_out, limbs * 4);
+  Py_DECREF(res);
+  return rc;
+}
+
+int icicle_tpu_merkle_proof(const char* field, const uint32_t* leaves,
+                            size_t n_leaves, uint64_t leaf_idx,
+                            uint8_t* proof_out, size_t* proof_len) {
+  if (!g_shim) {
+    g_last_error = "icicle_tpu_init not called";
+    return 3;
+  }
+  Gil gil;
+  int limbs = icicle_tpu_field_limbs(field);
+  if (limbs <= 0) return 2;
+  PyObject* args = Py_BuildValue(
+      "(sy#nK)", field, reinterpret_cast<const char*>(leaves),
+      static_cast<Py_ssize_t>(n_leaves * limbs * 4),
+      static_cast<Py_ssize_t>(n_leaves),
+      static_cast<unsigned long long>(leaf_idx));
+  PyObject* res = shim_call("merkle_proof", args);
+  Py_DECREF(args);
+  if (!res) return 8;
+  int rc = copy_bytes_var(res, proof_out, proof_len);
+  Py_DECREF(res);
+  return rc;
+}
+
+int icicle_tpu_merkle_verify(const char* field, const uint8_t* proof,
+                             size_t proof_len, int* ok_out) {
+  if (!g_shim) {
+    g_last_error = "icicle_tpu_init not called";
+    return 3;
+  }
+  Gil gil;
+  PyObject* args = Py_BuildValue(
+      "(sy#)", field, reinterpret_cast<const char*>(proof),
+      static_cast<Py_ssize_t>(proof_len));
+  PyObject* res = shim_call("merkle_verify", args);
+  Py_DECREF(args);
+  if (!res) return 8;
+  *ok_out = static_cast<int>(PyLong_AsLong(res));
+  Py_DECREF(res);
+  return 0;
+}
+
+int icicle_tpu_sumcheck_prove_abc(const char* field, const uint32_t* mles,
+                                  size_t n, const uint32_t* claimed_sum,
+                                  uint8_t* proof_out, size_t* proof_len) {
+  if (!g_shim) {
+    g_last_error = "icicle_tpu_init not called";
+    return 3;
+  }
+  Gil gil;
+  int limbs = icicle_tpu_field_limbs(field);
+  if (limbs <= 0) return 2;
+  PyObject* args = Py_BuildValue(
+      "(sy#ny#)", field, reinterpret_cast<const char*>(mles),
+      static_cast<Py_ssize_t>(3 * n * limbs * 4), static_cast<Py_ssize_t>(n),
+      reinterpret_cast<const char*>(claimed_sum),
+      static_cast<Py_ssize_t>(limbs * 4));
+  PyObject* res = shim_call("sumcheck_prove_abc", args);
+  Py_DECREF(args);
+  if (!res) return 8;
+  int rc = copy_bytes_var(res, proof_out, proof_len);
+  Py_DECREF(res);
+  return rc;
+}
+
+int icicle_tpu_sumcheck_verify_abc(const char* field,
+                                   const uint32_t* claimed_sum,
+                                   const uint8_t* proof, size_t proof_len,
+                                   int* ok_out) {
+  if (!g_shim) {
+    g_last_error = "icicle_tpu_init not called";
+    return 3;
+  }
+  Gil gil;
+  int limbs = icicle_tpu_field_limbs(field);
+  if (limbs <= 0) return 2;
+  PyObject* args = Py_BuildValue(
+      "(sy#y#)", field, reinterpret_cast<const char*>(claimed_sum),
+      static_cast<Py_ssize_t>(limbs * 4),
+      reinterpret_cast<const char*>(proof),
+      static_cast<Py_ssize_t>(proof_len));
+  PyObject* res = shim_call("sumcheck_verify_abc", args);
+  Py_DECREF(args);
+  if (!res) return 8;
+  *ok_out = static_cast<int>(PyLong_AsLong(res));
+  Py_DECREF(res);
+  return 0;
+}
+
 }  // extern "C"

@@ -87,6 +87,102 @@ int main(void) {
     printf("msm 5G OK\n");
   }
 
+  /* --- vec_ops: add then sub roundtrips, mul vs known square --- */
+  {
+    enum { N = 8 };
+    uint32_t a[N], b[N], s[N], d[N], m[N];
+    const uint32_t P = 2013265921u; /* babybear */
+    for (int i = 0; i < N; i++) {
+      a[i] = (uint32_t)(i * 123456789u % P);
+      b[i] = (uint32_t)(i * 987654321u % P);
+    }
+    if (icicle_tpu_vec_op("babybear", "add", a, b, N, s) != 0)
+      return fail("vec add");
+    if (icicle_tpu_vec_op("babybear", "sub", s, b, N, d) != 0)
+      return fail("vec sub");
+    if (memcmp(a, d, sizeof a) != 0) {
+      fprintf(stderr, "FAIL vec add/sub roundtrip\n");
+      return 1;
+    }
+    if (icicle_tpu_vec_op("babybear", "mul", a, a, N, m) != 0)
+      return fail("vec mul");
+    if (m[2] != (uint32_t)((246913578ull * 246913578ull) % P)) {
+      fprintf(stderr, "FAIL vec mul value\n");
+      return 1;
+    }
+    printf("vec_ops OK\n");
+  }
+
+  /* --- poseidon2 sponge: 5 words into t=3 --- */
+  {
+    uint32_t in[10] = {1, 2, 3, 4, 5, 6, 7, 8, 9, 10}; /* batch=2, 5 words */
+    uint32_t out1[2], out2[2];
+    if (icicle_tpu_poseidon2_sponge("babybear", 3, 5, in, 2, out1) != 0)
+      return fail("poseidon2 sponge");
+    if (icicle_tpu_poseidon2_sponge("babybear", 3, 5, in, 2, out2) != 0)
+      return fail("poseidon2 sponge#2");
+    if (memcmp(out1, out2, sizeof out1) != 0 || out1[0] == out1[1]) {
+      fprintf(stderr, "FAIL sponge nondeterministic/degenerate\n");
+      return 1;
+    }
+    printf("poseidon2 sponge OK\n");
+  }
+
+  /* --- merkle: build, prove, verify; tampered proof must fail --- */
+  {
+    enum { NL = 64 };
+    uint32_t leaves[NL], root[1];
+    uint8_t proof[4096];
+    size_t plen = sizeof proof;
+    int ok = -1;
+    for (int i = 0; i < NL; i++) leaves[i] = (uint32_t)(i + 1);
+    if (icicle_tpu_merkle_build("babybear", leaves, NL, root) != 0)
+      return fail("merkle build");
+    if (icicle_tpu_merkle_proof("babybear", leaves, NL, 13, proof, &plen) != 0)
+      return fail("merkle proof");
+    if (icicle_tpu_merkle_verify("babybear", proof, plen, &ok) != 0 || ok != 1)
+      return fail("merkle verify");
+    proof[17] ^= 1; /* flip a bit inside the leaf bytes (header is 17 B) */
+    if (icicle_tpu_merkle_verify("babybear", proof, plen, &ok) != 0 || ok != 0) {
+      fprintf(stderr, "FAIL tampered merkle proof verified\n");
+      return 1;
+    }
+    printf("merkle build/prove/verify OK (root=%u, proof=%zu B)\n", root[0],
+           plen);
+  }
+
+  /* --- sumcheck (a*b - c combine): prove + verify; wrong sum must fail --- */
+  {
+    enum { N = 8 };
+    uint32_t mles[3 * N], claimed[1] = {0};
+    uint8_t proof[8192];
+    size_t plen = sizeof proof;
+    const uint64_t P = 2013265921u;
+    uint64_t sum = 0;
+    int ok = -1;
+    for (int i = 0; i < N; i++) {
+      mles[i] = (uint32_t)(i + 3);           /* a */
+      mles[N + i] = (uint32_t)(2 * i + 1);   /* b */
+      mles[2 * N + i] = (uint32_t)(7 * i);   /* c */
+      sum = (sum + (uint64_t)mles[i] * mles[N + i] % P + P -
+             mles[2 * N + i]) % P;
+    }
+    claimed[0] = (uint32_t)sum;
+    if (icicle_tpu_sumcheck_prove_abc("babybear", mles, N, claimed, proof,
+                                      &plen) != 0)
+      return fail("sumcheck prove");
+    if (icicle_tpu_sumcheck_verify_abc("babybear", claimed, proof, plen,
+                                       &ok) != 0 || ok != 1)
+      return fail("sumcheck verify");
+    claimed[0] = (uint32_t)((sum + 1) % P);
+    if (icicle_tpu_sumcheck_verify_abc("babybear", claimed, proof, plen,
+                                       &ok) != 0 || ok != 0) {
+      fprintf(stderr, "FAIL sumcheck verified a wrong claimed sum\n");
+      return 1;
+    }
+    printf("sumcheck prove/verify OK (proof=%zu B)\n", plen);
+  }
+
   icicle_tpu_shutdown();
   printf("ALL C ABI CHECKS PASSED\n");
   return 0;
