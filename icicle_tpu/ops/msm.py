@@ -280,25 +280,49 @@ def msm_precompute_bases(curve_name: str, points_x, points_y,
     if nu == 1:
         return np.asarray(points_x), np.asarray(points_y)
 
-    pts = group.from_affine_canonical(jnp.asarray(points_x),
-                                      jnp.asarray(points_y))
+    # Chunked + unrolled-montmul evaluation: the earlier whole-array form
+    # traced the doubling chain and the Fermat inversion with loop-form
+    # montmuls over (n, L) arrays — tens of thousands of device-loop
+    # iterations over 16x-tile-padded buffers, which was slow at 2^16 and
+    # crashed the TPU worker outright at 2^20. Per chunk, the fori/scan
+    # bodies hold ONE unrolled group op (compiled once, reused across
+    # chunks).
+    from icicle_tpu.math.bigint import mul_mode
+    import contextlib
+
+    ch = min(n, 1 << 15)
+    n_pad = -(-n // ch) * ch
+    # unrolled montmuls on accelerators (device-loop steps cost ~270 us, so
+    # loop-form nesting is pathological); loop-form on CPU (a 12k-primitive
+    # unrolled fori body takes 10+ min of single-core LLVM)
+    unroll = jax.default_backend() != "cpu"
 
     @jax.jit
-    def dbl_shift(p):
-        return jax.lax.fori_loop(0, shift, lambda _, q: group.dbl(q), p)
+    def chunk_fn(px_c, py_c):
+        with (mul_mode("unrolled") if unroll else contextlib.nullcontext()):
+            cur = group.from_affine_canonical(px_c, py_c)
+            outs = []
+            for _ in range(1, nu):
+                cur = jax.lax.fori_loop(
+                    0, shift, lambda _, q: group.dbl(q), cur)
+                outs.append(group.to_affine_canonical(cur))
+            return outs
 
-    outs_x = [np.asarray(points_x)]
-    outs_y = [np.asarray(points_y)]
-    cur = pts
-    for _ in range(1, nu):
-        cur = dbl_shift(cur)
-        cx, cy = group.to_affine_canonical(cur)
-        outs_x.append(np.asarray(cx))
-        outs_y.append(np.asarray(cy))
+    px_p = np.zeros((n_pad, points_x.shape[1]), dtype=np.uint32)
+    py_p = np.zeros((n_pad, points_y.shape[1]), dtype=np.uint32)
+    px_p[:n] = np.asarray(points_x)
+    py_p[:n] = np.asarray(points_y)
+    copies_x = [np.empty_like(px_p) for _ in range(nu - 1)]
+    copies_y = [np.empty_like(py_p) for _ in range(nu - 1)]
+    for s in range(0, n_pad, ch):
+        outs = chunk_fn(px_p[s:s + ch], py_p[s:s + ch])
+        for j, (cx, cy) in enumerate(outs):
+            copies_x[j][s:s + ch] = np.asarray(cx)
+            copies_y[j][s:s + ch] = np.asarray(cy)
     # interleave: out[nu*i + j] = copy j of point i
-    ox = np.stack(outs_x, axis=1).reshape(nu * n, -1)
-    oy = np.stack(outs_y, axis=1).reshape(nu * n, -1)
-    return ox, oy
+    ox = np.stack([px_p[:n]] + [c[:n] for c in copies_x], axis=1)
+    oy = np.stack([py_p[:n]] + [c[:n] for c in copies_y], axis=1)
+    return ox.reshape(nu * n, -1), oy.reshape(nu * n, -1)
 
 
 def _precompute_digit_remap(digits, nu: int, n: int, G0: int):
