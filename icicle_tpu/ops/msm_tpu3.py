@@ -71,9 +71,22 @@ def _plan3(n: int, c: int | None, nbits: int, T: int | None,
     if wg is None:
         byte_budget = 6 << 30
         per_window = tiles * T * 160
-        wg = max(1, min(n_windows, byte_budget // max(per_window, 1), 8))
-    n_groups = -(-n_windows // wg)
-    wg = -(-n_windows // n_groups)
+        wg_cap = max(1, min(n_windows, byte_budget // max(per_window, 1), 8))
+        # powers of two only: the scan kernel's lane group is wg*B_g with
+        # B_g a power of two, so wg in {1,2,4,8} gives wg*B_g == 1024 (full
+        # (8,128) vregs); e.g. wg=7 -> G=896 idles 12.5% of every vreg AND
+        # makes the cross-tile reduce's wg*M lane count non-pow2 (G=512).
+        # Pick the candidate minimizing padded windows, then the fewest
+        # groups.
+        best = None
+        for cand in (8, 4, 2, 1):
+            if cand > wg_cap:
+                continue
+            padded = -(-n_windows // cand) * cand
+            key = (padded, -cand)
+            if best is None or key < best[0]:
+                best = (key, cand)
+        wg = best[1]
     return c, M, T, tiles, n_windows, wg
 
 
@@ -98,7 +111,7 @@ def _join_u32(cols):
 @functools.lru_cache(maxsize=None)
 def _jitted_pipeline3(curve_name: str, c: int, nbits: int, n_pad: int, T: int,
                       tiles: int, wg: int, backend: str,
-                      engine: str = "u32", nu: int = 1):
+                      engine: str = "u32", nu: int = 1, n_scal: int = 0):
     from icicle_tpu.math.bigint import mul_mode
     import contextlib
 
@@ -303,10 +316,18 @@ def _jitted_pipeline3(curve_name: str, c: int, nbits: int, n_pad: int, T: int,
     w_pad = n_groups * wg
 
     @jax.jit
-    def run(scalars_t, points_u8):
+    def run(scalars, points_u8):
         mm = (mul_mode("unrolled") if backend == "pallas"
               else contextlib.nullcontext())
         with mm:
+            # scalars arrive row-major (n_scal, Ls) exactly as the caller
+            # holds them (reference: are_scalars_on_device=true, msm.h:40-49
+            # — no host-side marshaling in the hot path); transpose + pad to
+            # the limb-major padded width on device.
+            scalars_t = jnp.transpose(scalars)                # (Ls, n_scal)
+            if n_scal < n_pad // nu:
+                scalars_t = jnp.pad(
+                    scalars_t, ((0, 0), (0, n_pad // nu - n_scal)))
             digits = _signed_digits_t(scalars_t, c, nbits)    # (W, n_scal)
             if nu > 1:
                 from icicle_tpu.ops.msm import _precompute_digit_remap
@@ -470,8 +491,17 @@ def msm_tpu3_prepare(curve_name: str, points_x, points_y,
     n = points_x.shape[0]
     plan = _resolve_plan(curve_name, n, c, T, wg, engine, precompute_factor)
     fq = get_curve(curve_name).fq
-    px_t = _pad_t(points_x, fq.nlimbs, plan["n_pad"])
-    py_t = _pad_t(points_y, fq.nlimbs, plan["n_pad"])
+    if isinstance(points_x, jax.Array):
+        # device-resident bases: transpose+pad on device (no tunnel D2H/H2D)
+        @functools.partial(jax.jit, static_argnums=1)
+        def pad_dev(a, cols):
+            return jnp.pad(jnp.transpose(a),
+                           ((0, 0), (0, cols - a.shape[0])))
+        px_t = pad_dev(points_x, plan["n_pad"])
+        py_t = pad_dev(points_y, plan["n_pad"])
+    else:
+        px_t = _pad_t(points_x, fq.nlimbs, plan["n_pad"])
+        py_t = _pad_t(points_y, fq.nlimbs, plan["n_pad"])
     pts_u8 = _prep_fn3(curve_name, plan["n_pad"], plan["tiles"], plan["T"],
                        plan["engine"])(px_t, py_t)
     plan["pts_u8"] = pts_u8
@@ -519,11 +549,15 @@ def msm_tpu3(curve_name: str, scalars, points_x=None, points_y=None,
             "points must be msm_precompute_bases output (nu*N rows)"
         assert n_pad % nu == 0
 
-    scal_t = _pad_t(scalars, scalars.shape[1], n_pad // nu)
+    # scalars go to the device as-is (row-major (n_scal, Ls)); a no-op if the
+    # caller already holds them device-resident (the bench/autotune path —
+    # reference equivalent: MSMConfig.are_scalars_on_device, msm.h:40-49).
+    import jax.numpy as _jnp
+    scal_dev = _jnp.asarray(scalars)
 
     run = _jitted_pipeline3(curve_name, c, nbits, n_pad, T, tiles, wg,
-                            backend, engine, nu)
-    wsums = np.asarray(run(scal_t, pts_u8))               # (W, 3, L)
+                            backend, engine, nu, int(scal_dev.shape[0]))
+    wsums = np.asarray(run(scal_dev, pts_u8))             # (W, 3, L)
 
     p = fq.modulus
     rinv = pow(1 << (32 * fq.nlimbs), -1, p)

@@ -109,13 +109,16 @@ def msm_sharded3(curve_name: str, scalars, points_x, points_y, mesh: Mesh,
         return np.ascontiguousarray(
             out.reshape(d * shard_pad, width).T)
 
-    scal_t = pad_shards(scalars, nls)
+    # scalars stay row-major (rows, Ls): the pipeline transposes on device
+    scal_r = np.zeros((d * shard_pad, nls), dtype=np.uint32)
+    scal_r.reshape(d, shard_pad, nls)[:, :shard_n] = \
+        np.asarray(scalars).reshape(d, shard_n, nls)
     px_t = pad_shards(points_x, fq.nlimbs)
     py_t = pad_shards(points_y, fq.nlimbs)
 
     prep = _prep_fn3(curve_name, shard_pad, tiles, T, engine)
     run = _jitted_pipeline3(curve_name, c, nbits, shard_pad, T, tiles, wg,
-                            backend, engine, 1)
+                            backend, engine, 1, shard_pad)
 
     def local(st, pxt, pyt):
         wsum = run(st, prep(pxt, pyt))                    # (W, 3, L)
@@ -127,10 +130,10 @@ def msm_sharded3(curve_name: str, scalars, points_x, points_y, mesh: Mesh,
 
     spec = P(None, SHARD_AXIS)
     fn = shard_map(local, mesh=mesh,
-                   in_specs=(spec, spec, spec),
+                   in_specs=(P(SHARD_AXIS, None), spec, spec),
                    out_specs=P(),
                    check_vma=False)  # same rationale as msm_sharded below
-    wsums = np.asarray(jax.jit(fn)(scal_t, px_t, py_t))[0]  # (W, 3, L)
+    wsums = np.asarray(jax.jit(fn)(scal_r, px_t, py_t))[0]  # (W, 3, L)
     return _host_horner(fq, n_windows, c, wsums[:, 0], wsums[:, 1],
                         wsums[:, 2])
 

@@ -98,13 +98,17 @@ def msm_sharded3_2level(curve_name: str, scalars, points_x, points_y,
         out[:, :shard_n] = arr
         return np.ascontiguousarray(out.reshape(d * shard_pad, width).T)
 
-    scal_t = pad_shards(scalars, scalars.shape[1])
+    # scalars stay row-major (rows, Ls): the pipeline transposes on device
+    nls = scalars.shape[1]
+    scal_r = np.zeros((d * shard_pad, nls), dtype=np.uint32)
+    scal_r.reshape(d, shard_pad, nls)[:, :shard_n] = \
+        np.asarray(scalars).reshape(d, shard_n, nls)
     px_t = pad_shards(points_x, nl)
     py_t = pad_shards(points_y, nl)
 
     prep = _prep_fn3(curve_name, shard_pad, tiles, T, engine)
     run = _jitted_pipeline3(curve_name, c, nbits, shard_pad, T, tiles, wg,
-                            backend, engine, 1)
+                            backend, engine, 1, shard_pad)
 
     def local(st, pxt, pyt):
         wsum = run(st, prep(pxt, pyt))                      # (W, 3, L)
@@ -120,9 +124,10 @@ def msm_sharded3_2level(curve_name: str, scalars, points_x, points_y,
         return jnp.stack([tot.x, tot.y, tot.z], axis=-2)    # (1, W, 3, L)
 
     spec = P(None, (DCN_AXIS, ICI_AXIS))
-    fn = shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P((DCN_AXIS, ICI_AXIS), None), spec, spec),
                    out_specs=P(), check_vma=False)
-    wsums = np.asarray(jax.jit(fn)(scal_t, px_t, py_t))[0]
+    wsums = np.asarray(jax.jit(fn)(scal_r, px_t, py_t))[0]
     return _host_horner(fq, n_windows, c, wsums[:, 0], wsums[:, 1],
                         wsums[:, 2])
 

@@ -67,6 +67,11 @@ def main() -> None:
         py = np.broadcast_to(np.asarray(fq.from_ints([P[1]]))[0],
                              (n, fq.nlimbs)).copy()
         want = ec_mul(P, total, mod)
+        # device-resident scalars (reference: are_scalars_on_device=true);
+        # the axon tunnel H2D path is MB/s-slow and is NOT the thing tuned
+        import jax
+        import jax.numpy as jnp
+        scal = jax.block_until_ready(jnp.asarray(scal))
 
         for c in cs:
             bx, by = px, py
