@@ -136,7 +136,10 @@ def _jitted_pipeline3(curve_name: str, c: int, nbits: int, n_pad: int, T: int,
     # One-hot operands are never materialized whole: the permute chunk size
     # and the extraction bucket-block size are bounded so each transient
     # one-hot stays under a byte budget (at 2^24 the full (C, K, T) permute
-    # one-hot would be ~68 GB).
+    # one-hot would be ~68 GB). XLA fuses the compare-iota producer into
+    # the dot, so the one-hot is MXU-bound, not HBM-bound — a VMEM-built
+    # Pallas variant was tried (round 4) and cannot beat the fused dot;
+    # the MAC count (slots x T x 64) is what the T knob tunes.
     import os as _os
     oh_budget = int(_os.environ.get("ICICLE_TPU_MSM_OH_BUDGET",
                                     str(2 << 30)))
@@ -452,7 +455,12 @@ def _resolve_plan(curve_name, n, c, T, wg, engine, nu):
     import os
     curve = get_curve(curve_name)
     if engine is None:
-        engine = os.environ.get("ICICLE_TPU_MSM_ENGINE", "u32")
+        engine = os.environ.get("ICICLE_TPU_MSM_ENGINE")
+    if engine is None:
+        # measured-table engine choice (reference decision-tree analog):
+        # e.g. the r12 kernel beats u32 by ~20% on bn254 at 2^20-2^24 (v5e)
+        from icicle_tpu.ops.msm_tuning import tuned_engine
+        engine = tuned_engine(curve_name, n, nu) or "u32"
     if engine == "r12":
         from icicle_tpu.math.radix12 import Radix12
         try:

@@ -72,6 +72,28 @@ def tuned_params(pipeline: str, curve_name: str, n: int,
     return dict(best[1]["params"]) if best else None
 
 
+def tuned_engine(curve_name: str, n: int,
+                 precompute_factor: int = 1) -> Optional[str]:
+    """Fastest measured v3 in-kernel engine ("u32" | "r12") for this size,
+    or None when nothing is measured. Same nearest-logn snapping as
+    tuned_params; this is the engine leg of the reference's decision-tree
+    choice (cpu_msm.hpp:199-224 picks algorithm variants the same way)."""
+    logn = max(1, (n - 1).bit_length())
+    best = None
+    for e in _entries():
+        pipe = e.get("pipeline", "")
+        if (not pipe.startswith("v3:") or e.get("curve") != curve_name
+                or e.get("nu", 1) != precompute_factor):
+            continue
+        d = abs(e["logn"] - logn)
+        if d > 2:
+            continue
+        key = (d, -e.get("points_per_sec", 0.0))
+        if best is None or key < best[0]:
+            best = (key, pipe.split(":", 1)[1])
+    return best[1] if best else None
+
+
 def record(pipeline: str, curve_name: str, logn: int, params: dict,
            points_per_sec: float, precompute_factor: int = 1,
            path: Optional[str] = None) -> None:
