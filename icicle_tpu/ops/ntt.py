@@ -72,6 +72,21 @@ def _powers_mont(f: Field, base: int, count: int):
 _domains: dict[tuple[str, int], NttDomain] = {}
 
 
+def _mesh_tainted(x) -> bool:
+    """True if x was materialized inside a manual-mesh (shard_map) trace.
+
+    ensure_compile_time_eval inside shard_map yields a CONCRETE array whose
+    aval still carries the Manual AbstractMesh; caching it would pin that
+    mesh and break reuse under any other mesh (jax raises "context mesh
+    should match the aval mesh" at the next gather/slice). Such arrays are
+    correct within their own trace — they just must not enter cross-mesh
+    caches."""
+    try:
+        return not x.aval.sharding.mesh.empty
+    except AttributeError:
+        return False
+
+
 def ntt_init_domain(f: Field, logn: int) -> NttDomain:
     """Build/refresh the domain cache up to size 2^logn (reference
     ntt_init_domain, src/ntt.cpp:24-36)."""
@@ -80,7 +95,10 @@ def ntt_init_domain(f: Field, logn: int) -> NttDomain:
         # domains are cached across calls: force eager (compile-time) eval so
         # tables built inside a jit trace don't become leaked tracers
         with jax.ensure_compile_time_eval():
-            _domains[key] = NttDomain(f, logn)
+            dom = NttDomain(f, logn)
+        if _mesh_tainted(dom.twiddles):
+            return dom  # usable in this trace only; keep the cache clean
+        _domains[key] = dom
     return _domains[key]
 
 
@@ -113,7 +131,8 @@ def get_domain(f: Field, logn: int) -> NttDomain:
                 sub.twiddles = dom.twiddles[::stride][: 1 << max(logn - 1, 0)]
                 sub.twiddles_inv = dom.twiddles_inv[::stride][: 1 << max(logn - 1, 0)]
                 sub.n_inv_mont = f.to_mont(f.from_ints(sub.n_inv_int))
-            _domains[(f.name, logn)] = sub
+            if not _mesh_tainted(sub.twiddles):
+                _domains[(f.name, logn)] = sub
             return sub
     return ntt_init_domain(f, logn)
 

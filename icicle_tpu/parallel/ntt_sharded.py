@@ -82,6 +82,11 @@ def ntt_sharded(f: Field, x, mesh: Mesh, dir: NTTDir = NTTDir.FORWARD,
     lim = f.limb_shape
     nl = len(lim)
     tw = _twiddle_matrix(f, n1, n2, dir)
+    # pre-warm the local-NTT domains OUTSIDE shard_map: tables built inside
+    # a manual-mesh trace can't enter the cross-mesh domain cache (ops/ntt.py
+    # _mesh_tainted) and would be rebuilt per trace
+    ntt_mod.get_domain(f, log_n1)
+    ntt_mod.get_domain(f, logn - log_n1)
 
     col_spec = P(*((None, axis) + (None,) * nl))
     row_spec = P(*((axis, None) + (None,) * nl))

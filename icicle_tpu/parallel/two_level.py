@@ -154,6 +154,11 @@ def ntt_sharded_2level(f: Field, x, mesh: Mesh,
     lim = f.limb_shape
     nl = len(lim)
     tw = _twiddle_matrix(f, n1, n2, dir)
+    # pre-warm local domains outside shard_map (see ntt_sharded + ops/ntt.py
+    # _mesh_tainted: tables built under a manual mesh can't be cached)
+    from icicle_tpu.ops import ntt as ntt_mod
+    ntt_mod.get_domain(f, log_n1)
+    ntt_mod.get_domain(f, logn - log_n1)
     both = (DCN_AXIS, ICI_AXIS)
     col_spec = P(*((None, both) + (None,) * nl))
     row_spec = P(*((both, None) + (None,) * nl))
