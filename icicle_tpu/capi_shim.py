@@ -179,3 +179,131 @@ def sumcheck_verify_abc(field: str, claimed_sum: bytes, proof: bytes) -> int:
     f = get_field(field)
     cs = int.from_bytes(claimed_sum, "little")
     return int(sumcheck_verify(f, SumcheckProof.deserialize(f, proof), cs))
+
+
+def _fri_setup(field: str, stopping_degree: int, nof_queries: int,
+               pow_bits: int):
+    from icicle_tpu.fields.field import get_field
+    from icicle_tpu.ops.fri import FriConfig, FriTranscriptConfig
+    from icicle_tpu.ops.hash.keccak import Keccak256
+
+    f = get_field(field)
+    cfg = FriConfig(stopping_degree=stopping_degree, nof_queries=nof_queries,
+                    pow_bits=pow_bits)
+    h = Keccak256()
+    return f, cfg, FriTranscriptConfig(), h
+
+
+def fri_prove(field: str, evals: bytes, n: int, stopping_degree: int,
+              nof_queries: int, pow_bits: int) -> bytes:
+    """FRI prove over 2^k rou evaluations, keccak-256 Merkle layers
+    (reference fri.h FFI; serialized in the reference proof layout)."""
+    from icicle_tpu.ops.fri import fri_prove as prove
+
+    f, cfg, tcfg, h = _fri_setup(field, stopping_degree, nof_queries,
+                                 pow_bits)
+    arr = np.frombuffer(evals, dtype="<u4").reshape(
+        (n,) if f.nlimbs == 1 else (n, f.nlimbs))
+    return prove(f, arr, cfg, tcfg, h, h).serialize(f)
+
+
+def fri_verify(field: str, stopping_degree: int, nof_queries: int,
+               pow_bits: int, proof: bytes) -> int:
+    from icicle_tpu.ops.fri import FriProof, fri_verify as verify
+
+    f, cfg, tcfg, h = _fri_setup(field, stopping_degree, nof_queries,
+                                 pow_bits)
+    try:
+        p = FriProof.deserialize(f, proof)
+    except Exception:  # malformed bytes = invalid proof at the FFI boundary
+        return 0
+    return int(verify(f, p, cfg, tcfg, h, h))
+
+
+def mlkem_size(category: str, which: str) -> int:
+    """ek/dk/ct/ss byte sizes per FIPS 203 category ("512"/"768"/"1024")."""
+    from icicle_tpu.ops.pqc.ml_kem import PARAMS
+    p = PARAMS[category]
+    return {"ek": p.ek_bytes, "dk": p.dk_bytes, "ct": p.ct_bytes,
+            "ss": 32, "entropy": 64, "msg": 32}[which]
+
+
+def mlkem_keygen(category: str, entropy: bytes, batch: int) -> bytes:
+    """entropy: batch * 64 bytes (d||z rows). Returns ek rows || dk rows."""
+    from icicle_tpu.ops.pqc.ml_kem import keygen
+
+    ent = np.frombuffer(entropy, dtype=np.uint8).reshape(batch, 64)
+    ek, dk = keygen(category, ent)
+    return ek.tobytes() + dk.tobytes()
+
+
+def mlkem_encaps(category: str, messages: bytes, public_keys: bytes,
+                 batch: int) -> bytes:
+    """messages: batch * 32 bytes. Returns ciphertext rows || secret rows."""
+    from icicle_tpu.ops.pqc.ml_kem import encaps
+
+    m = np.frombuffer(messages, dtype=np.uint8).reshape(batch, 32)
+    ek = np.frombuffer(public_keys, dtype=np.uint8).reshape(batch, -1)
+    ct, ss = encaps(category, m, ek)
+    return ct.tobytes() + ss.tobytes()
+
+
+def mlkem_decaps(category: str, ciphertexts: bytes, secret_keys: bytes,
+                 batch: int) -> bytes:
+    """Returns batch * 32 shared-secret bytes (implicit rejection inside)."""
+    from icicle_tpu.ops.pqc.ml_kem import decaps
+
+    ct = np.frombuffer(ciphertexts, dtype=np.uint8).reshape(batch, -1)
+    dk = np.frombuffer(secret_keys, dtype=np.uint8).reshape(batch, -1)
+    return decaps(category, ct, dk).tobytes()
+
+
+def pairing(curve: str, p: bytes, q: bytes) -> bytes:
+    """Optimal-ate e(P, Q). p: 2*L u32 (x||y); q: 4*L u32 (x0,x1,y0,y1).
+    Returns the Fp12 element as 12*L u32 canonical coefficients in the flat
+    Fp2[w]/(w^6-xi) basis (reference pairing.h:24-27)."""
+    from icicle_tpu.curves.params import get_curve
+    from icicle_tpu.curves.pairing import pairing as pair
+
+    c = get_curve(curve)
+    nl = c.fq.nlimbs
+    pv = np.frombuffer(p, dtype="<u4").reshape(2, nl)
+    qv = np.frombuffer(q, dtype="<u4").reshape(4, nl)
+
+    def to_int(row):
+        v = 0
+        for i, w in enumerate(row):
+            v |= int(w) << (32 * i)
+        return v
+
+    res = pair(curve, (to_int(pv[0]), to_int(pv[1])),
+               ((to_int(qv[0]), to_int(qv[1])),
+                (to_int(qv[2]), to_int(qv[3]))))
+    out = np.zeros((12, nl), dtype="<u4")
+    flat = [x for fp2 in res for x in fp2]
+    for j, v in enumerate(flat):
+        for i in range(nl):
+            out[j, i] = (v >> (32 * i)) & 0xFFFFFFFF
+    return out.tobytes()
+
+
+def pow_solve(challenge: bytes, solution_bits: int) -> bytes:
+    """Keccak-256 proof-of-work grind (reference pow.h cpu_pow). Returns
+    8B LE nonce || 8B LE mined hash; raises if the search cap is hit."""
+    from icicle_tpu.ops.hash.keccak import Keccak256
+    from icicle_tpu.ops.pow import proof_of_work
+
+    found, nonce, mined = proof_of_work(Keccak256(), challenge,
+                                        solution_bits)
+    if not found:
+        raise RuntimeError("pow: no solution within the search cap")
+    return nonce.to_bytes(8, "little") + mined.to_bytes(8, "little")
+
+
+def pow_verify(challenge: bytes, solution_bits: int, nonce: int) -> int:
+    from icicle_tpu.ops.hash.keccak import Keccak256
+    from icicle_tpu.ops.pow import proof_of_work_verify
+
+    ok, _ = proof_of_work_verify(Keccak256(), challenge, solution_bits,
+                                 nonce)
+    return int(ok)

@@ -101,6 +101,58 @@ int icicle_tpu_sumcheck_verify_abc(const char* field,
                                    const uint8_t* proof, size_t proof_len,
                                    int* ok_out);
 
+/* FRI prove over n = 2^k rou evaluations (keccak-256 Merkle layers,
+ * folding factor 2, reference fri.h FFI). evals: n * limbs uint32.
+ * Proof serialized in the reference layout; capacity/written protocol as
+ * merkle_proof. */
+int icicle_tpu_fri_prove(const char* field, const uint32_t* evals, size_t n,
+                         int stopping_degree, int nof_queries, int pow_bits,
+                         uint8_t* proof_out, size_t* proof_len);
+
+/* Verify a serialized FRI proof; *ok_out = 1 valid / 0 invalid. */
+int icicle_tpu_fri_verify(const char* field, int stopping_degree,
+                          int nof_queries, int pow_bits,
+                          const uint8_t* proof, size_t proof_len,
+                          int* ok_out);
+
+/* ML-KEM (FIPS 203) byte sizes for category "512"|"768"|"1024";
+ * which: "ek"|"dk"|"ct"|"ss"|"entropy"|"msg". Returns -1 on error. */
+int icicle_tpu_mlkem_size(const char* category, const char* which);
+
+/* ML-KEM batch keygen: entropy = batch * 64 bytes (d||z per row);
+ * ek_out = batch * ek_bytes, dk_out = batch * dk_bytes.
+ * (reference ml_kem.h FFI) */
+int icicle_tpu_mlkem_keygen(const char* category, const uint8_t* entropy,
+                            size_t batch, uint8_t* ek_out, uint8_t* dk_out);
+
+/* ML-KEM batch encapsulate: messages = batch * 32 bytes;
+ * ct_out = batch * ct_bytes, ss_out = batch * 32. */
+int icicle_tpu_mlkem_encaps(const char* category, const uint8_t* messages,
+                            const uint8_t* public_keys, size_t batch,
+                            uint8_t* ct_out, uint8_t* ss_out);
+
+/* ML-KEM batch decapsulate (implicit rejection): ss_out = batch * 32. */
+int icicle_tpu_mlkem_decaps(const char* category, const uint8_t* ciphertexts,
+                            const uint8_t* secret_keys, size_t batch,
+                            uint8_t* ss_out);
+
+/* Optimal-ate pairing e(P, Q). p: 2*limbs uint32 (x||y affine G1);
+ * q: 4*limbs uint32 (x.c0, x.c1, y.c0, y.c1 affine G2); out: 12*limbs
+ * uint32 canonical Fp12 coefficients, flat Fp2[w]/(w^6-xi) basis
+ * (reference pairing.h:24-27). */
+int icicle_tpu_pairing(const char* curve, const uint32_t* p,
+                       const uint32_t* q, uint32_t* out);
+
+/* Keccak-256 proof-of-work grind (reference pow.h). On success writes the
+ * solving nonce and its 64-bit LE hash value. */
+int icicle_tpu_pow_solve(const uint8_t* challenge, size_t challenge_len,
+                         int solution_bits, uint64_t* nonce_out,
+                         uint64_t* mined_hash_out);
+
+/* Verify a proof-of-work nonce; *ok_out = 1 valid / 0 invalid. */
+int icicle_tpu_pow_verify(const uint8_t* challenge, size_t challenge_len,
+                          int solution_bits, uint64_t nonce, int* ok_out);
+
 #ifdef __cplusplus
 } /* extern "C" */
 #endif

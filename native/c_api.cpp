@@ -428,4 +428,219 @@ int icicle_tpu_sumcheck_verify_abc(const char* field,
   return 0;
 }
 
+int icicle_tpu_fri_prove(const char* field, const uint32_t* evals, size_t n,
+                         int stopping_degree, int nof_queries, int pow_bits,
+                         uint8_t* proof_out, size_t* proof_len) {
+  if (!g_shim) {
+    g_last_error = "icicle_tpu_init not called";
+    return 3;
+  }
+  Gil gil;
+  int limbs = icicle_tpu_field_limbs(field);
+  if (limbs <= 0) return 2;
+  PyObject* args = Py_BuildValue(
+      "(sy#niii)", field, reinterpret_cast<const char*>(evals),
+      static_cast<Py_ssize_t>(n * limbs * 4), static_cast<Py_ssize_t>(n),
+      stopping_degree, nof_queries, pow_bits);
+  PyObject* res = shim_call("fri_prove", args);
+  Py_DECREF(args);
+  if (!res) return 8;
+  int rc = copy_bytes_var(res, proof_out, proof_len);
+  Py_DECREF(res);
+  return rc;
+}
+
+int icicle_tpu_fri_verify(const char* field, int stopping_degree,
+                          int nof_queries, int pow_bits,
+                          const uint8_t* proof, size_t proof_len,
+                          int* ok_out) {
+  if (!g_shim) {
+    g_last_error = "icicle_tpu_init not called";
+    return 3;
+  }
+  Gil gil;
+  PyObject* args = Py_BuildValue(
+      "(siiiy#)", field, stopping_degree, nof_queries, pow_bits,
+      reinterpret_cast<const char*>(proof),
+      static_cast<Py_ssize_t>(proof_len));
+  PyObject* res = shim_call("fri_verify", args);
+  Py_DECREF(args);
+  if (!res) return 8;
+  *ok_out = static_cast<int>(PyLong_AsLong(res));
+  Py_DECREF(res);
+  return 0;
+}
+
+int icicle_tpu_mlkem_size(const char* category, const char* which) {
+  if (!g_shim) return -1;
+  Gil gil;
+  PyObject* args = Py_BuildValue("(ss)", category, which);
+  PyObject* res = shim_call("mlkem_size", args);
+  Py_DECREF(args);
+  if (!res) return -1;
+  long v = PyLong_AsLong(res);
+  Py_DECREF(res);
+  return static_cast<int>(v);
+}
+
+int icicle_tpu_mlkem_keygen(const char* category, const uint8_t* entropy,
+                            size_t batch, uint8_t* ek_out, uint8_t* dk_out) {
+  if (!g_shim) {
+    g_last_error = "icicle_tpu_init not called";
+    return 3;
+  }
+  Gil gil;
+  int ekb = icicle_tpu_mlkem_size(category, "ek");
+  int dkb = icicle_tpu_mlkem_size(category, "dk");
+  if (ekb <= 0 || dkb <= 0) return 2;
+  PyObject* args = Py_BuildValue(
+      "(sy#n)", category, reinterpret_cast<const char*>(entropy),
+      static_cast<Py_ssize_t>(batch * 64), static_cast<Py_ssize_t>(batch));
+  PyObject* res = shim_call("mlkem_keygen", args);
+  Py_DECREF(args);
+  if (!res) return 8;
+  char* buf = nullptr;
+  Py_ssize_t len = 0;
+  if (PyBytes_AsStringAndSize(res, &buf, &len) != 0 ||
+      static_cast<size_t>(len) != batch * (ekb + dkb)) {
+    set_error_from_python();
+    Py_DECREF(res);
+    return 8;
+  }
+  std::memcpy(ek_out, buf, batch * ekb);
+  std::memcpy(dk_out, buf + batch * ekb, batch * dkb);
+  Py_DECREF(res);
+  return 0;
+}
+
+int icicle_tpu_mlkem_encaps(const char* category, const uint8_t* messages,
+                            const uint8_t* public_keys, size_t batch,
+                            uint8_t* ct_out, uint8_t* ss_out) {
+  if (!g_shim) {
+    g_last_error = "icicle_tpu_init not called";
+    return 3;
+  }
+  Gil gil;
+  int ekb = icicle_tpu_mlkem_size(category, "ek");
+  int ctb = icicle_tpu_mlkem_size(category, "ct");
+  if (ekb <= 0 || ctb <= 0) return 2;
+  PyObject* args = Py_BuildValue(
+      "(sy#y#n)", category, reinterpret_cast<const char*>(messages),
+      static_cast<Py_ssize_t>(batch * 32),
+      reinterpret_cast<const char*>(public_keys),
+      static_cast<Py_ssize_t>(batch * ekb), static_cast<Py_ssize_t>(batch));
+  PyObject* res = shim_call("mlkem_encaps", args);
+  Py_DECREF(args);
+  if (!res) return 8;
+  char* buf = nullptr;
+  Py_ssize_t len = 0;
+  if (PyBytes_AsStringAndSize(res, &buf, &len) != 0 ||
+      static_cast<size_t>(len) != batch * (ctb + 32)) {
+    set_error_from_python();
+    Py_DECREF(res);
+    return 8;
+  }
+  std::memcpy(ct_out, buf, batch * ctb);
+  std::memcpy(ss_out, buf + batch * ctb, batch * 32);
+  Py_DECREF(res);
+  return 0;
+}
+
+int icicle_tpu_mlkem_decaps(const char* category, const uint8_t* ciphertexts,
+                            const uint8_t* secret_keys, size_t batch,
+                            uint8_t* ss_out) {
+  if (!g_shim) {
+    g_last_error = "icicle_tpu_init not called";
+    return 3;
+  }
+  Gil gil;
+  int dkb = icicle_tpu_mlkem_size(category, "dk");
+  int ctb = icicle_tpu_mlkem_size(category, "ct");
+  if (dkb <= 0 || ctb <= 0) return 2;
+  PyObject* args = Py_BuildValue(
+      "(sy#y#n)", category, reinterpret_cast<const char*>(ciphertexts),
+      static_cast<Py_ssize_t>(batch * ctb),
+      reinterpret_cast<const char*>(secret_keys),
+      static_cast<Py_ssize_t>(batch * dkb), static_cast<Py_ssize_t>(batch));
+  PyObject* res = shim_call("mlkem_decaps", args);
+  Py_DECREF(args);
+  if (!res) return 8;
+  int rc = copy_bytes_out(res, ss_out, batch * 32);
+  Py_DECREF(res);
+  return rc;
+}
+
+int icicle_tpu_pairing(const char* curve, const uint32_t* p,
+                       const uint32_t* q, uint32_t* out) {
+  if (!g_shim) {
+    g_last_error = "icicle_tpu_init not called";
+    return 3;
+  }
+  Gil gil;
+  // base-field limb count via the shim (G1/G2 coords live in Fq)
+  PyObject* largs = Py_BuildValue("(s)", curve);
+  PyObject* lres = shim_call("base_limbs", largs);
+  Py_DECREF(largs);
+  if (!lres) return 2;
+  long limbs = PyLong_AsLong(lres);
+  Py_DECREF(lres);
+  if (limbs <= 0) return 2;
+  PyObject* args = Py_BuildValue(
+      "(sy#y#)", curve, reinterpret_cast<const char*>(p),
+      static_cast<Py_ssize_t>(2 * limbs * 4),
+      reinterpret_cast<const char*>(q),
+      static_cast<Py_ssize_t>(4 * limbs * 4));
+  PyObject* res = shim_call("pairing", args);
+  Py_DECREF(args);
+  if (!res) return 8;
+  int rc = copy_bytes_out(res, out, 12 * limbs * 4);
+  Py_DECREF(res);
+  return rc;
+}
+
+int icicle_tpu_pow_solve(const uint8_t* challenge, size_t challenge_len,
+                         int solution_bits, uint64_t* nonce_out,
+                         uint64_t* mined_hash_out) {
+  if (!g_shim) {
+    g_last_error = "icicle_tpu_init not called";
+    return 3;
+  }
+  Gil gil;
+  PyObject* args = Py_BuildValue(
+      "(y#i)", reinterpret_cast<const char*>(challenge),
+      static_cast<Py_ssize_t>(challenge_len), solution_bits);
+  PyObject* res = shim_call("pow_solve", args);
+  Py_DECREF(args);
+  if (!res) return 8;
+  uint8_t buf[16];
+  int rc = copy_bytes_out(res, buf, 16);
+  Py_DECREF(res);
+  if (rc) return rc;
+  uint64_t nonce = 0, mined = 0;
+  std::memcpy(&nonce, buf, 8);
+  std::memcpy(&mined, buf + 8, 8);
+  *nonce_out = nonce;
+  *mined_hash_out = mined;
+  return 0;
+}
+
+int icicle_tpu_pow_verify(const uint8_t* challenge, size_t challenge_len,
+                          int solution_bits, uint64_t nonce, int* ok_out) {
+  if (!g_shim) {
+    g_last_error = "icicle_tpu_init not called";
+    return 3;
+  }
+  Gil gil;
+  PyObject* args = Py_BuildValue(
+      "(y#iK)", reinterpret_cast<const char*>(challenge),
+      static_cast<Py_ssize_t>(challenge_len), solution_bits,
+      static_cast<unsigned long long>(nonce));
+  PyObject* res = shim_call("pow_verify", args);
+  Py_DECREF(args);
+  if (!res) return 8;
+  *ok_out = static_cast<int>(PyLong_AsLong(res));
+  Py_DECREF(res);
+  return 0;
+}
+
 }  // extern "C"
