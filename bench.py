@@ -16,6 +16,7 @@ BENCH_BATCH, BENCH_NTT_BACKEND=auto|xla|pallas,
 BENCH_MSM_PIPELINE=v3|v2 (prefix-scan vs suffix-fold),
 BENCH_MSM_NU=1|2|4|8 (precompute_factor; bases built by
 msm_precompute_bases outside the timed region, v3 only),
+BENCH_MSM_GLV=1 (on-device GLV scalar split over [P, phi(P)] bases),
 BENCH_MSM_C / BENCH_MSM_T / BENCH_MSM_WG (explicit v3 parameters; default
 comes from the measured tuning table icicle_tpu/data/msm_tuning.json).
 """
@@ -73,6 +74,7 @@ def _bench_msm(size_log: int | None = None) -> None:
                              (n, 8)).copy()
 
     nu = int(os.environ.get("BENCH_MSM_NU", "1"))
+    glv = bool(int(os.environ.get("BENCH_MSM_GLV", "0")))
     c = int(os.environ.get("BENCH_MSM_C", "0")) or None
     kw = {"backend": "pallas", "c": c}
     if os.environ.get("BENCH_MSM_T"):
@@ -97,9 +99,9 @@ def _bench_msm(size_log: int | None = None) -> None:
         from icicle_tpu.ops.msm_tpu3 import msm_tpu3_prepare
         prepared = msm_tpu3_prepare(
             "bn254", px, py, c=kw.get("c"), T=kw.get("T"),
-            precompute_factor=nu, wg=kw.get("wg"))
+            precompute_factor=nu, wg=kw.get("wg"), glv=glv)
         kw = {"backend": "pallas", "prepared": prepared,
-              "precompute_factor": nu}
+              "precompute_factor": nu, "glv": glv}
         args = ("bn254", scal)
     else:
         args = ("bn254", scal, px, py)
@@ -175,13 +177,19 @@ def _bench_merkle(size_log: int | None = None) -> None:
     leaves = jax.block_until_ready(
         jnp.asarray(rng.integers(0, f.modulus, size=(n,), dtype=np.uint32)))
 
+    # 2^25+ single-dispatch layers overflow this environment's remote-compile
+    # relay (HTTP 500): build the bottom layers chunked (bit-identical, see
+    # MerkleTree.build) so the headline can run at reference-table sizes
+    chunks = int(os.environ.get(
+        "BENCH_MERKLE_CHUNKS", str(8 if size_log >= 25 else 1)))
+
     t0 = time.perf_counter()
-    tree.build(leaves)
+    tree.build(leaves, chunks=chunks)
     root = tree.get_root()
     warm = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    tree.build(leaves)
+    tree.build(leaves, chunks=chunks)
     root = tree.get_root()
     dt = time.perf_counter() - t0
     rate = n / dt
@@ -255,14 +263,15 @@ def main() -> None:
     butterflies = batch * size_log * (n // 2)
     rate = butterflies / dt
 
-    # no reference number exists for NTT butterflies/s (BASELINE.md); report
-    # ratio vs a nominal 1e9 butterflies/s CPU-class figure for trend tracking
-    baseline = 1.0e9
+    # no reference number exists for NTT butterflies/s (BASELINE.md) — emit a
+    # null vs_baseline (self-describing) and the round-over-round trend ratio
+    # under its own honest name instead (VERDICT r4 ask #10)
     print(json.dumps({
         "metric": f"babybear_ntt_2^{size_log}_butterflies_per_s",
         "value": rate,
         "unit": "butterflies/s",
-        "vs_baseline": rate / baseline,
+        "vs_baseline": None,
+        "vs_nominal_1e9": rate / 1.0e9,
     }))
 
 

@@ -53,6 +53,61 @@ extern "C" {
         proof_len: usize,
         ok_out: *mut c_int,
     ) -> c_int;
+    fn icicle_tpu_fri_prove(
+        field: *const c_char,
+        evals: *const u32,
+        n: usize,
+        stopping_degree: c_int,
+        nof_queries: c_int,
+        pow_bits: c_int,
+        proof_out: *mut u8,
+        proof_len: *mut usize,
+    ) -> c_int;
+    fn icicle_tpu_fri_verify(
+        field: *const c_char,
+        stopping_degree: c_int,
+        nof_queries: c_int,
+        pow_bits: c_int,
+        proof: *const u8,
+        proof_len: usize,
+        ok_out: *mut c_int,
+    ) -> c_int;
+    fn icicle_tpu_lattice_decompose(
+        input: *const u32,
+        n: usize,
+        base: u32,
+        nof_digits: usize,
+        out: *mut u32,
+    ) -> c_int;
+    fn icicle_tpu_lattice_recompose(
+        digits: *const u32,
+        total: usize,
+        base: u32,
+        out_size: usize,
+        out: *mut u32,
+    ) -> c_int;
+    fn icicle_tpu_norm_check(
+        input: *const u32,
+        n: usize,
+        norm: *const c_char,
+        bound: u64,
+        ok_out: *mut c_int,
+    ) -> c_int;
+    fn icicle_tpu_poly_mul(
+        field: *const c_char,
+        a: *const u32,
+        na: usize,
+        b: *const u32,
+        nb: usize,
+        out: *mut u32,
+    ) -> c_int;
+    fn icicle_tpu_poly_eval(
+        field: *const c_char,
+        a: *const u32,
+        na: usize,
+        x: *const u32,
+        out: *mut u32,
+    ) -> c_int;
 }
 
 fn last_error() -> String {
@@ -141,6 +196,84 @@ fn main() {
         );
         assert_eq!(ok, 0, "tampered merkle proof verified");
         println!("rust: merkle build/prove/verify OK (root={})", root[0]);
+
+        // FRI prove + verify over 2^8 evaluations
+        let evals: Vec<u32> = (0..256u64).map(|i| ((i * 7 + 3) % p) as u32).collect();
+        let mut fproof = vec![0u8; 1 << 20];
+        let mut flen = fproof.len();
+        assert_eq!(
+            icicle_tpu_fri_prove(
+                babybear.as_ptr(), evals.as_ptr(), 256, 0, 10, 0,
+                fproof.as_mut_ptr(), &mut flen
+            ),
+            0,
+            "fri prove: {}",
+            last_error()
+        );
+        assert_eq!(
+            icicle_tpu_fri_verify(
+                babybear.as_ptr(), 0, 10, 0, fproof.as_ptr(), flen, &mut ok
+            ),
+            0
+        );
+        assert_eq!(ok, 1, "fri proof did not verify");
+        fproof[flen / 2] ^= 1;
+        assert_eq!(
+            icicle_tpu_fri_verify(
+                babybear.as_ptr(), 0, 10, 0, fproof.as_ptr(), flen, &mut ok
+            ),
+            0
+        );
+        assert_eq!(ok, 0, "tampered fri proof verified");
+        println!("rust: fri prove/verify OK ({} B proof)", flen);
+
+        // lattice decompose/recompose roundtrip + norm check (babykoala Zq)
+        const NL: usize = 8;
+        const DIGITS: usize = 16;
+        let mut zq = [0u32; NL * 2];
+        for i in 0..NL {
+            zq[2 * i] = (i as u32) * 1234567 + 1;
+        }
+        let mut digits = vec![0u32; DIGITS * NL * 2];
+        let mut back = [0u32; NL * 2];
+        assert_eq!(
+            icicle_tpu_lattice_decompose(zq.as_ptr(), NL, 16, DIGITS, digits.as_mut_ptr()),
+            0,
+            "lattice decompose: {}",
+            last_error()
+        );
+        assert_eq!(
+            icicle_tpu_lattice_recompose(digits.as_ptr(), DIGITS * NL, 16, NL, back.as_mut_ptr()),
+            0
+        );
+        assert_eq!(zq, back, "lattice roundtrip mismatch");
+        let linf = CString::new("LInfinity").unwrap();
+        assert_eq!(
+            icicle_tpu_norm_check(zq.as_ptr(), NL, linf.as_ptr(), 123456789, &mut ok),
+            0
+        );
+        assert_eq!(ok, 1, "norm check should pass");
+        println!("rust: lattice decompose/recompose/norm OK");
+
+        // polynomial API: (x+1)(x+2) = x^2+3x+2, eval at 5
+        let pa = [1u32, 1u32];
+        let pb = [2u32, 1u32];
+        let mut prod = [0u32; 3];
+        assert_eq!(
+            icicle_tpu_poly_mul(babybear.as_ptr(), pa.as_ptr(), 2, pb.as_ptr(), 2, prod.as_mut_ptr()),
+            0,
+            "poly mul: {}",
+            last_error()
+        );
+        assert_eq!(prod, [2, 3, 1], "poly mul coefficients");
+        let x = [5u32];
+        let mut ev = [0u32; 1];
+        assert_eq!(
+            icicle_tpu_poly_eval(babybear.as_ptr(), prod.as_ptr(), 3, x.as_ptr(), ev.as_mut_ptr()),
+            0
+        );
+        assert_eq!(ev[0], 42, "poly eval value");
+        println!("rust: polynomial mul/eval OK");
 
         icicle_tpu_shutdown();
     }

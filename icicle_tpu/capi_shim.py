@@ -215,9 +215,12 @@ def fri_verify(field: str, stopping_degree: int, nof_queries: int,
                                  pow_bits)
     try:
         p = FriProof.deserialize(f, proof)
-    except Exception:  # malformed bytes = invalid proof at the FFI boundary
+        return int(verify(f, p, cfg, tcfg, h, h))
+    except Exception:
+        # Untrusted-proof boundary: bytes that parse but are internally
+        # inconsistent (e.g. Merkle path length vs tree depth) must verify
+        # as FALSE, not surface as an FFI error (advisor r4).
         return 0
-    return int(verify(f, p, cfg, tcfg, h, h))
 
 
 def mlkem_size(category: str, which: str) -> int:
@@ -289,15 +292,17 @@ def pairing(curve: str, p: bytes, q: bytes) -> bytes:
 
 def pow_solve(challenge: bytes, solution_bits: int) -> bytes:
     """Keccak-256 proof-of-work grind (reference pow.h cpu_pow). Returns
-    8B LE nonce || 8B LE mined hash; raises if the search cap is hit."""
+    1B found || 8B LE nonce || 8B LE mined hash. Search-cap exhaustion is
+    found=0 with a SUCCESS status — the reference proof_of_work reports
+    found=false the same way (advisor r4), errors stay reserved for
+    genuine internal failures."""
     from icicle_tpu.ops.hash.keccak import Keccak256
     from icicle_tpu.ops.pow import proof_of_work
 
     found, nonce, mined = proof_of_work(Keccak256(), challenge,
                                         solution_bits)
-    if not found:
-        raise RuntimeError("pow: no solution within the search cap")
-    return nonce.to_bytes(8, "little") + mined.to_bytes(8, "little")
+    return (bytes([int(found)]) + int(nonce).to_bytes(8, "little")
+            + int(mined).to_bytes(8, "little"))
 
 
 def pow_verify(challenge: bytes, solution_bits: int, nonce: int) -> int:
@@ -307,3 +312,90 @@ def pow_verify(challenge: bytes, solution_bits: int, nonce: int) -> int:
     ok, _ = proof_of_work_verify(Keccak256(), challenge, solution_bits,
                                  nonce)
     return int(ok)
+
+
+# -- lattice ops (reference backend/cpu/src/ring/*; babykoala Zq) -----------
+
+def lattice_decompose(data: bytes, n: int, base: int, nof_digits: int) -> bytes:
+    """(n, 2)-u32 Zq rows -> (nof_digits*n, 2) balanced digits, digit-major
+    (reference cpu_decompose_balanced_digits layout)."""
+    from icicle_tpu.ops.lattice import decompose_balanced, compute_nof_digits
+
+    arr = np.frombuffer(data, dtype="<u4").reshape(n, 2)
+    nof = nof_digits or compute_nof_digits(base)
+    return np.asarray(decompose_balanced(arr, base, nof)).astype("<u4").tobytes()
+
+
+def lattice_recompose(data: bytes, total: int, base: int,
+                      out_size: int) -> bytes:
+    from icicle_tpu.ops.lattice import recompose_balanced
+
+    arr = np.frombuffer(data, dtype="<u4").reshape(total, 2)
+    return np.asarray(recompose_balanced(arr, base, out_size)).astype(
+        "<u4").tobytes()
+
+
+def lattice_jl_projection(data: bytes, n: int, seed: bytes,
+                          output_size: int) -> bytes:
+    from icicle_tpu.ops.lattice import jl_projection
+
+    arr = np.frombuffer(data, dtype="<u4").reshape(n, 2)
+    return np.asarray(jl_projection(arr, seed, output_size)).astype(
+        "<u4").tobytes()
+
+
+def lattice_norm_check(data: bytes, n: int, norm: str, bound: int) -> int:
+    from icicle_tpu.ops.lattice import check_norm_bound
+
+    arr = np.frombuffer(data, dtype="<u4").reshape(n, 2)
+    return int(check_norm_bound(arr, norm, bound))
+
+
+# -- polynomial API (reference polynomials/polynomials.h via C) -------------
+
+def _poly(field: str, coeffs: bytes, n: int):
+    from icicle_tpu.fields.field import get_field
+    from icicle_tpu.polynomials.polynomial import Polynomial
+
+    f = get_field(field)
+    arr = np.frombuffer(coeffs, dtype="<u4").reshape(
+        (n,) if f.nlimbs == 1 else (n, f.nlimbs))
+    return f, Polynomial.from_coeffs(f, arr)
+
+
+def _coeff_bytes(f, p, count: int) -> bytes:
+    """First `count` coefficient rows as bytes, zero-padded if the padded
+    pow2 storage is shorter."""
+    arr = np.asarray(p.copy_coeffs(0, min(count, p.size))).astype("<u4")
+    rows = arr.reshape(arr.shape[0], -1) if arr.ndim > 1 else \
+        arr.reshape(-1, 1)
+    if rows.shape[0] < count:
+        rows = np.concatenate(
+            [rows, np.zeros((count - rows.shape[0], rows.shape[1]),
+                            dtype="<u4")])
+    return rows.tobytes()
+
+
+def poly_mul(field: str, a: bytes, na: int, b: bytes, nb: int) -> bytes:
+    """Coefficient product, exactly na+nb-1 coefficients returned."""
+    f, pa = _poly(field, a, na)
+    _, pb = _poly(field, b, nb)
+    return _coeff_bytes(f, pa * pb, na + nb - 1)
+
+
+def poly_eval(field: str, a: bytes, na: int, x: bytes) -> bytes:
+    f, pa = _poly(field, a, na)
+    xv = np.frombuffer(x, dtype="<u4").reshape(
+        (1,) if f.nlimbs == 1 else (1, f.nlimbs))
+    res = pa.eval(xv[0] if f.nlimbs > 1 else xv)
+    return np.asarray(res).astype("<u4").tobytes()
+
+
+def poly_divide(field: str, a: bytes, na: int, b: bytes, nb: int) -> bytes:
+    """Euclidean division: quotient (na-nb+1 coeffs) || remainder (nb-1)."""
+    f, pa = _poly(field, a, na)
+    _, pb = _poly(field, b, nb)
+    q, r = pa.divide(pb)
+    qn = na - nb + 1 if na >= nb else 1
+    rn = nb - 1 if nb >= 2 else 1
+    return _coeff_bytes(f, q, qn) + _coeff_bytes(f, r, rn)

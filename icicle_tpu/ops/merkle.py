@@ -104,10 +104,19 @@ class MerkleTree:
             n *= a
         return n
 
-    def build(self, leaves, cfg: MerkleTreeConfig = MerkleTreeConfig()):
+    def build(self, leaves, cfg: MerkleTreeConfig = MerkleTreeConfig(),
+              chunks: int = 1):
         """leaves: (nof_leaves, leaf_words) uint32 (or flat multiple).
 
         One batched hash per layer (reference build, cpu_merkle_tree.cpp:55-80).
+
+        chunks > 1 builds the bottom layers subtree-by-subtree under a
+        lax.map device loop (one compiled chunk body, chunks executions),
+        then finishes the cap layers whole. Layer contents are bit-identical
+        to the unchunked build (the subtree partition is exactly
+        parallel/merkle_sharded.py's, on one device); it exists because a
+        single whole-layer dispatch at 2^26+ leaves overflows this
+        environment's remote-compile relay.
         """
         x = jnp.asarray(leaves, dtype=jnp.uint32)
         if x.ndim == 1:
@@ -129,7 +138,40 @@ class MerkleTree:
         self._nof_leaves = want
         self.layers = [x]
         cur = x
-        for i, h in enumerate(self.hashers):
+
+        start_layer = 0
+        if chunks > 1:
+            # deepest prefix of layers whose arity product divides want/chunks
+            # (every chunk then holds whole hash groups at each such layer)
+            check(want % chunks == 0, IcicleError.INVALID_ARGUMENT,
+                  "chunks must divide the leaf count")
+            per = want // chunks
+            d, rows = 0, 1
+            while d < len(self.hashers) and per % (rows * self.arities[d]) == 0:
+                rows *= self.arities[d]
+                d += 1
+            if d > 0:
+                def chunk_fn(xc):
+                    outs = []
+                    c_cur = xc
+                    for i in range(d):
+                        n_out = c_cur.shape[0] // self.arities[i]
+                        c_cur = self.hashers[i].hash_words(
+                            c_cur.reshape(n_out,
+                                          self.arities[i] * c_cur.shape[1]))
+                        outs.append(c_cur)
+                    return outs
+
+                pieces = jax.lax.map(
+                    chunk_fn, x.reshape(chunks, per, self.leaf_words))
+                for i in range(d):
+                    p = pieces[i]          # (chunks, per/prod, words)
+                    self.layers.append(p.reshape(-1, p.shape[-1]))
+                cur = self.layers[-1]
+                start_layer = d
+
+        for i in range(start_layer, len(self.hashers)):
+            h = self.hashers[i]
             n_out = cur.shape[0] // self.arities[i]
             cur = h.hash_words(cur.reshape(n_out, self.arities[i] * cur.shape[1]))
             self.layers.append(cur)

@@ -73,13 +73,26 @@ def _auto_c(n: int, curve_name: str | None = None) -> int:
     return best_c
 
 
+def signed_window_count(nbits: int, c: int) -> int:
+    """Exact signed-digit window count for scalars < 2^nbits: W = nbits//c+1.
+
+    The conversion keeps v <= 2^(c-1) and emits v - 2^c with carry 1
+    otherwise, so window w holds at most (raw bits of k) + 1. With
+    W = floor(nbits/c) + 1 the top window covers bits c*(W-1)..nbits-1,
+    i.e. raw < 2^(nbits mod c) <= 2^(c-1) even after +1 carry whenever
+    nbits mod c != 0; when c | nbits the +1 IS the carry window. The
+    previous (nbits+c)//c + 1 formula spent one extra all-zero window
+    (3.7% of all MSM slot work at bn254 c=10: 27 -> 26 windows)."""
+    return nbits // c + 1
+
+
 def _signed_digits(scalar_limbs, c: int, nbits: int):
     """(N, Ls) u32 canonical scalars -> (W, N) int32 signed digits.
 
     Digits lie in [-2^(c-1), 2^(c-1)]; sum_w d_w * 2^(c*w) == scalar.
     Statically unrolled over windows (W is small).
     """
-    n_windows = (nbits + c) // c + 1  # headroom for the final carry
+    n_windows = signed_window_count(nbits, c)
     half = 1 << (c - 1)
     full = 1 << c
     mask = jnp.uint32(full - 1)

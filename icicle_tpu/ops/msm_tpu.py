@@ -27,6 +27,7 @@ from icicle_tpu.curves.group import get_group, Projective, pselect
 from icicle_tpu.curves.host_ec import ec_add, ec_dbl, INF
 from icicle_tpu.ops.msm import (
     _signed_digits, _auto_c, _segmented_scan_add, _prefix_scan_add,
+    signed_window_count,
 )
 from icicle_tpu.pallas.msm_kernel import make_bucket_accum, make_bucket_accum_xla
 
@@ -36,7 +37,7 @@ def _plan(n: int, c: int | None, nbits: int, lanes: int):
     # weighted bucket-reduction scans (measured on TPU: c=12 is 5x faster
     # than c=16 at 2^20 — 0.69 vs 0.14 M pts/s)
     c = c or min(_auto_c(n), 12)
-    n_windows = (nbits + c) // c + 1
+    n_windows = signed_window_count(nbits, c)
     lanes = min(lanes, n)
     k_steps = n // lanes
     assert lanes * k_steps == n, "n must be divisible by the lane count"
@@ -52,7 +53,7 @@ def _jitted_pipeline(curve_name: str, c: int, nbits: int, n: int, lanes: int,
     curve = get_curve(curve_name)
     group = get_group(curve_name)
     f = curve.fq.engine
-    total_windows = (nbits + c) // c + 1
+    total_windows = signed_window_count(nbits, c)
     n_windows = wchunk or total_windows
     k_steps = n // lanes
     m_buckets = 1 << (c - 1)

@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from icicle_tpu.curves.params import get_curve
+from icicle_tpu.ops.msm import signed_window_count
 from icicle_tpu.curves.host_ec import ec_add, ec_dbl, INF
 from icicle_tpu.pallas.msm_fold2 import make_suffix_fold, make_suffix_fold_xla
 
@@ -61,7 +62,7 @@ def _plan2(n: int, c: int | None, nbits: int, T: int | None):
     M = 1 << (c - 1)
     assert T + 1 < _IDX_MASK, "tile too large for the packed-sort layout"
     assert M <= ((1 << 31) >> _KEY_SHIFT), "window too large for packed sort"
-    n_windows = (nbits + c) // c + 1
+    n_windows = signed_window_count(nbits, c)
     tiles = -(-n // T)
     tiles = 1 << max(0, (tiles - 1).bit_length())
     # windows per fold pass: target <= 16384 lanes, bounded by ~4 GB of
@@ -78,7 +79,7 @@ def _plan2(n: int, c: int | None, nbits: int, T: int | None):
 def _signed_digits_t(scalars_t, c: int, nbits: int):
     """(Ls, N) u32 canonical limb-major scalars -> (W, N) int32 signed digits
     (same math as ops/msm._signed_digits, limb-major input layout)."""
-    n_windows = (nbits + c) // c + 1
+    n_windows = signed_window_count(nbits, c)
     half = 1 << (c - 1)
     full = 1 << c
     mask = jnp.uint32(full - 1)
@@ -142,7 +143,7 @@ def _jitted_pipeline2(curve_name: str, c: int, nbits: int, n_pad: int, T: int,
     nl = fq.nlimbs
     M = 1 << (c - 1)
     K = T + M
-    n_windows = (nbits + c) // c + 1
+    n_windows = signed_window_count(nbits, c)
     kmax = M
     C = wg * tiles
     # lane group = wg windows x B_g tiles (so the permute scan's chunk axis

@@ -41,6 +41,7 @@ import jax.numpy as jnp
 
 from icicle_tpu.curves.params import get_curve
 from icicle_tpu.curves.host_ec import ec_add, ec_dbl, INF
+from icicle_tpu.ops.msm import signed_window_count
 from icicle_tpu.ops.msm_tpu2 import _signed_digits_t
 from icicle_tpu.pallas.msm_scan import make_prefix_scan, make_prefix_scan_xla
 from icicle_tpu.pallas.ec_reduce import make_ec_reduce, make_ec_reduce_xla
@@ -64,7 +65,7 @@ def _plan3(n: int, c: int | None, nbits: int, T: int | None,
         c = best[0]
     M = 1 << (c - 1)
     assert M < (1 << (31 - _KEY_SHIFT))
-    n_windows = (nbits + c) // c + 1
+    n_windows = signed_window_count(nbits, c)
     tiles = -(-n // T)
     tiles = 1 << max(0, (tiles - 1).bit_length())
     # windows per group: bound in-flight permuted+E-stream bytes (~160B/slot)
@@ -76,14 +77,18 @@ def _plan3(n: int, c: int | None, nbits: int, T: int | None,
         # B_g a power of two, so wg in {1,2,4,8} gives wg*B_g == 1024 (full
         # (8,128) vregs); e.g. wg=7 -> G=896 idles 12.5% of every vreg AND
         # makes the cross-tile reduce's wg*M lane count non-pow2 (G=512).
-        # Pick the candidate minimizing padded windows, then the fewest
-        # groups.
+        # Pick the candidate maximizing lane occupancy (G = min(wg*tiles,
+        # 1024) — at tiles < 1024 a small wg leaves vreg lanes idle and the
+        # scan runs at G/1024 of the issue ceiling; seen in the round-5
+        # stage probe: wg=1 at tiles=512 doubled the scan time), then
+        # minimizing padded windows, then the fewest groups.
         best = None
         for cand in (8, 4, 2, 1):
             if cand > wg_cap:
                 continue
             padded = -(-n_windows // cand) * cand
-            key = (padded, -cand)
+            occupancy_deficit = 1024 - min(cand * tiles, 1024)
+            key = (occupancy_deficit, padded, -cand)
             if best is None or key < best[0]:
                 best = (key, cand)
         wg = best[1]
@@ -111,7 +116,8 @@ def _join_u32(cols):
 @functools.lru_cache(maxsize=None)
 def _jitted_pipeline3(curve_name: str, c: int, nbits: int, n_pad: int, T: int,
                       tiles: int, wg: int, backend: str,
-                      engine: str = "u32", nu: int = 1, n_scal: int = 0):
+                      engine: str = "u32", nu: int = 1, n_scal: int = 0,
+                      glv: bool = False):
     from icicle_tpu.math.bigint import mul_mode
     import contextlib
 
@@ -120,7 +126,7 @@ def _jitted_pipeline3(curve_name: str, c: int, nbits: int, n_pad: int, T: int,
     nl = fq.nlimbs
     M = 1 << (c - 1)
     K = T
-    n_windows = (nbits + c) // c + 1
+    n_windows = signed_window_count(nbits, c)
     if nu > 1:
         # precomputed bases: windows merge into G = max(G0, W-(nu-1)*G0)
         # groups of stride G0 (reference msm.h:23-34; ops/msm.py remap)
@@ -328,10 +334,19 @@ def _jitted_pipeline3(curve_name: str, c: int, nbits: int, n_pad: int, T: int,
             # — no host-side marshaling in the hot path); transpose + pad to
             # the limb-major padded width on device.
             scalars_t = jnp.transpose(scalars)                # (Ls, n_scal)
-            if n_scal < n_pad // nu:
-                scalars_t = jnp.pad(
-                    scalars_t, ((0, 0), (0, n_pad // nu - n_scal)))
-            digits = _signed_digits_t(scalars_t, c, nbits)    # (W, n_scal)
+            if glv:
+                # GLV split: digits for the interleaved [P, phi(P)] bases
+                # (ops/msm_glv.py); nbits here is glv_split_bound(curve).
+                from icicle_tpu.ops.msm_glv import glv_digits_t
+                digits = glv_digits_t(curve_name, scalars_t, c)
+                if 2 * n_scal < n_pad:
+                    digits = jnp.pad(
+                        digits, ((0, 0), (0, n_pad - 2 * n_scal)))
+            else:
+                if n_scal < n_pad // nu:
+                    scalars_t = jnp.pad(
+                        scalars_t, ((0, 0), (0, n_pad // nu - n_scal)))
+                digits = _signed_digits_t(scalars_t, c, nbits)  # (W, n)
             if nu > 1:
                 from icicle_tpu.ops.msm import _precompute_digit_remap
                 digits, _ = _precompute_digit_remap(
@@ -451,7 +466,7 @@ def _pad_t(a, width, cols):
     return out
 
 
-def _resolve_plan(curve_name, n, c, T, wg, engine, nu):
+def _resolve_plan(curve_name, n, c, T, wg, engine, nu, glv=False):
     import os
     curve = get_curve(curve_name)
     if engine is None:
@@ -467,7 +482,15 @@ def _resolve_plan(curve_name, n, c, T, wg, engine, nu):
             Radix12(curve.fq.modulus)
         except OverflowError:
             engine = "u32"   # field too large for signed-i32 radix-12 columns
-    nbits = curve.fr.modulus.bit_length()
+    assert not (glv and nu > 1), "glv + precompute_factor not combined (yet)"
+    if glv:
+        # the point set doubles ([P, phi(P)]), digits come from the ~129-bit
+        # split halves (ops/msm_glv.py)
+        from icicle_tpu.ops.msm_glv import glv_split_bound
+        nbits = glv_split_bound(curve_name)
+        n = 2 * n
+    else:
+        nbits = curve.fr.modulus.bit_length()
     if c is None or T is None:
         # measured-table lookup (reference decision-tree analog, msm_tuning)
         from icicle_tpu.ops.msm_tuning import tuned_params
@@ -484,22 +507,43 @@ def _resolve_plan(curve_name, n, c, T, wg, engine, nu):
         G0 = precompute_shift(nbits, c, nu) // c
         n_windows = max(G0, n_windows - (nu - 1) * G0)
     return dict(engine=engine, nbits=nbits, c=c, M=M, T=T, tiles=tiles,
-                n_windows=n_windows, wg=wg, n_pad=tiles * T, nu=nu)
+                n_windows=n_windows, wg=wg, n_pad=tiles * T, nu=nu,
+                glv=glv)
 
 
 def msm_tpu3_prepare(curve_name: str, points_x, points_y,
                      c: int | None = None, T: int | None = None,
                      engine: str | None = None, precompute_factor: int = 1,
-                     wg: int | None = None):
+                     wg: int | None = None, glv: bool = False):
     """One-time base preparation: pad + Montgomery-convert + byte-plane the
     points on device. The returned dict feeds msm_tpu3(prepared=...) so
     repeated MSMs over the same bases skip this work — the reference
     equivalent is uploading bases once with are_points_on_device=true
-    (msm.h:40-49) plus msm_precompute_bases."""
+    (msm.h:40-49) plus msm_precompute_bases. glv=True interleaves
+    [P_i, phi(P_i)] (phi = (beta*x, y), one canonical field mul per point)
+    to pair with the glv digit split."""
     n = points_x.shape[0]
-    plan = _resolve_plan(curve_name, n, c, T, wg, engine, precompute_factor)
+    plan = _resolve_plan(curve_name, n, c, T, wg, engine, precompute_factor,
+                         glv)
     fq = get_curve(curve_name).fq
-    if isinstance(points_x, jax.Array):
+    if glv:
+        from icicle_tpu.ops.msm_glv import glv_msm_constants
+        beta = glv_msm_constants(curve_name)["beta"]
+        beta_l = jnp.asarray(np.asarray(fq.from_ints([beta]))[0])
+
+        @functools.partial(jax.jit, static_argnums=1)
+        def glv_pad_dev(pts, cols):
+            px, py = pts                                    # (n, L) each
+            phix = fq.mul(px, beta_l[None, :])
+            x2 = jnp.stack([px, phix], axis=1).reshape(-1, px.shape[1])
+            y2 = jnp.stack([py, py], axis=1).reshape(-1, py.shape[1])
+            pad = ((0, 0), (0, cols - x2.shape[0]))
+            return (jnp.pad(jnp.transpose(x2), pad),
+                    jnp.pad(jnp.transpose(y2), pad))
+
+        px_t, py_t = glv_pad_dev((jnp.asarray(points_x),
+                                  jnp.asarray(points_y)), plan["n_pad"])
+    elif isinstance(points_x, jax.Array):
         # device-resident bases: transpose+pad on device (no tunnel D2H/H2D)
         @functools.partial(jax.jit, static_argnums=1)
         def pad_dev(a, cols):
@@ -521,7 +565,7 @@ def msm_tpu3(curve_name: str, scalars, points_x=None, points_y=None,
              c: int | None = None, T: int | None = None,
              backend: str = "pallas", engine: str | None = None,
              precompute_factor: int = 1, wg: int | None = None,
-             prepared: dict | None = None):
+             prepared: dict | None = None, glv: bool = False):
     """Prefix-scan MSM. scalars (N, Ls) canonical u32 limbs; points canonical
     affine (N, L). Returns canonical affine (x, y) python ints ((0,0) = INF).
 
@@ -534,6 +578,9 @@ def msm_tpu3(curve_name: str, scalars, points_x=None, points_y=None,
     cuts window count (and bucket/extraction work) ~nu-fold.
     prepared: output of msm_tpu3_prepare over the same bases (points_x/y
     then unused); skips padding + Montgomery conversion per call.
+    glv: decompose scalars k = k1 + lam*k2 on device and run over the
+    interleaved [P, phi(P)] base set (ops/msm_glv.py) — slot-neutral in the
+    scan phase by design, kept as a measured toggle (see performance.md).
     """
     curve = get_curve(curve_name)
     fq, fr = curve.fq, curve.fr
@@ -542,7 +589,7 @@ def msm_tpu3(curve_name: str, scalars, points_x=None, points_y=None,
         assert points_x is not None and points_y is not None
         prepared = msm_tpu3_prepare(curve_name, points_x, points_y, c=c, T=T,
                                     engine=engine, precompute_factor=nu,
-                                    wg=wg)
+                                    wg=wg, glv=glv)
     plan = prepared
     engine, nbits, c, T = (plan["engine"], plan["nbits"], plan["c"],
                            plan["T"])
@@ -551,6 +598,7 @@ def msm_tpu3(curve_name: str, scalars, points_x=None, points_y=None,
     n_pad, n = plan["n_pad"], plan["n"]
     pts_u8 = plan["pts_u8"]
     assert plan["nu"] == nu
+    assert plan.get("glv", False) == glv
     if nu > 1:
         assert nu & (nu - 1) == 0, "precompute_factor must be a power of two"
         assert n == nu * scalars.shape[0], \
@@ -564,7 +612,8 @@ def msm_tpu3(curve_name: str, scalars, points_x=None, points_y=None,
     scal_dev = _jnp.asarray(scalars)
 
     run = _jitted_pipeline3(curve_name, c, nbits, n_pad, T, tiles, wg,
-                            backend, engine, nu, int(scal_dev.shape[0]))
+                            backend, engine, nu, int(scal_dev.shape[0]),
+                            glv)
     wsums = np.asarray(run(scal_dev, pts_u8))             # (W, 3, L)
 
     p = fq.modulus

@@ -82,8 +82,16 @@ def _mesh_tainted(x) -> bool:
     correct within their own trace — they just must not enter cross-mesh
     caches."""
     try:
-        return not x.aval.sharding.mesh.empty
-    except AttributeError:
+        mesh = x.aval.sharding.mesh
+        if mesh.empty:
+            return False
+        # Only MANUAL meshes taint: auto meshes (use_mesh contexts) yield
+        # normally-reusable arrays, and treating them as tainted would
+        # silently rebuild the domain on every call (advisor r4).
+        from jax.sharding import AxisType
+        return any(t == AxisType.Manual
+                   for t in getattr(mesh, "axis_types", ()))
+    except (AttributeError, ImportError):
         return False
 
 

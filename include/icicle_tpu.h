@@ -143,15 +143,64 @@ int icicle_tpu_mlkem_decaps(const char* category, const uint8_t* ciphertexts,
 int icicle_tpu_pairing(const char* curve, const uint32_t* p,
                        const uint32_t* q, uint32_t* out);
 
-/* Keccak-256 proof-of-work grind (reference pow.h). On success writes the
- * solving nonce and its 64-bit LE hash value. */
+/* Keccak-256 proof-of-work grind (reference pow.h). *found_out = 1 with
+ * the solving nonce and its 64-bit LE hash value, or 0 if the search cap
+ * was exhausted (a SUCCESS status, matching the reference proof_of_work's
+ * found=false — errors are reserved for internal failures). */
 int icicle_tpu_pow_solve(const uint8_t* challenge, size_t challenge_len,
-                         int solution_bits, uint64_t* nonce_out,
-                         uint64_t* mined_hash_out);
+                         int solution_bits, int* found_out,
+                         uint64_t* nonce_out, uint64_t* mined_hash_out);
 
 /* Verify a proof-of-work nonce; *ok_out = 1 valid / 0 invalid. */
 int icicle_tpu_pow_verify(const uint8_t* challenge, size_t challenge_len,
                           int solution_bits, uint64_t nonce, int* ok_out);
+
+/* ---- lattice ops (babykoala Zq; reference lattice/balanced_decomposition.h,
+ * lattice/jl_projection.h, lattice/norm.h). Zq elements are 2 uint32 each,
+ * little-endian. ---- */
+
+/* Balanced base-b decomposition of n Zq elements into nof_digits digits,
+ * digit-major output (digit d of element i at [d*n + i]); out must hold
+ * nof_digits*n elements. nof_digits = 0 is rejected — query the canonical
+ * count with ceil(log_base(q)) (+1 when base > 2). */
+int icicle_tpu_lattice_decompose(const uint32_t* in, size_t n, uint32_t base,
+                                 size_t nof_digits, uint32_t* out);
+
+/* Inverse: total = nof_digits*out_size digit elements -> out_size Zq. */
+int icicle_tpu_lattice_recompose(const uint32_t* digits, size_t total,
+                                 uint32_t base, size_t out_size,
+                                 uint32_t* out);
+
+/* Johnson-Lindenstrauss projection of n Zq elements to output_size via the
+ * seeded {0, +-1} matrix (byte-matched to the reference's keccak512
+ * expansion). */
+int icicle_tpu_jl_projection(const uint32_t* in, size_t n,
+                             const uint8_t* seed, size_t seed_len,
+                             size_t output_size, uint32_t* out);
+
+/* Norm bound check: norm is "L2" or "LInfinity"; *ok_out = 1 when
+ * norm(in) < bound. Inputs must be < sqrt(q) in centered form (error 8
+ * otherwise, matching the reference's argument contract). */
+int icicle_tpu_norm_check(const uint32_t* in, size_t n, const char* norm,
+                          uint64_t bound, int* ok_out);
+
+/* ---- polynomial API (reference polynomials/polynomials.h) ----
+ * Coefficients are field elements (field_limbs uint32 each), ascending
+ * degree order. */
+
+/* out = a * b: exactly na+nb-1 coefficients. */
+int icicle_tpu_poly_mul(const char* field, const uint32_t* a, size_t na,
+                        const uint32_t* b, size_t nb, uint32_t* out);
+
+/* Evaluate a at the field element x. */
+int icicle_tpu_poly_eval(const char* field, const uint32_t* a, size_t na,
+                         const uint32_t* x, uint32_t* out);
+
+/* Euclidean division a = q*b + r: q_out gets max(na-nb+1, 1) coefficients,
+ * r_out gets max(nb-1, 1). */
+int icicle_tpu_poly_divide(const char* field, const uint32_t* a, size_t na,
+                           const uint32_t* b, size_t nb, uint32_t* q_out,
+                           uint32_t* r_out);
 
 #ifdef __cplusplus
 } /* extern "C" */

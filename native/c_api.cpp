@@ -45,7 +45,15 @@ void set_error_from_python() {
 }
 
 // Call shim.<fn>(*args); returns new ref or nullptr (error recorded).
+// Accepts args == nullptr (a failed Py_BuildValue at the call site): that
+// is reported as an error here instead of silently calling fn() with no
+// arguments (advisor r4) — call sites pair this with Py_XDECREF(args).
 PyObject* shim_call(const char* fn, PyObject* args) {
+  if (!args) {
+    if (PyErr_Occurred()) set_error_from_python();
+    else g_last_error = "argument marshaling failed";
+    return nullptr;
+  }
   PyObject* f = PyObject_GetAttrString(g_shim, fn);
   if (!f) {
     set_error_from_python();
@@ -113,7 +121,7 @@ int icicle_tpu_init(const char* platform) {
     res = PyObject_CallObject(f, args);
     Py_DECREF(f);
   }
-  Py_DECREF(args);
+  Py_XDECREF(args);
   if (!res) {
     set_error_from_python();
     Py_DECREF(mod);
@@ -144,7 +152,7 @@ int icicle_tpu_field_limbs(const char* field) {
   Gil gil;
   PyObject* args = Py_BuildValue("(s)", field);
   PyObject* res = shim_call("field_limbs", args);
-  Py_DECREF(args);
+  Py_XDECREF(args);
   if (!res) return -1;
   long v = PyLong_AsLong(res);
   Py_DECREF(res);
@@ -165,7 +173,7 @@ int icicle_tpu_ntt(const char* field, const uint32_t* data, size_t n,
       "(sy#ni)", field, reinterpret_cast<const char*>(data),
       static_cast<Py_ssize_t>(nbytes), static_cast<Py_ssize_t>(n), dir);
   PyObject* res = shim_call("ntt", args);
-  Py_DECREF(args);
+  Py_XDECREF(args);
   if (!res) return 8;
   int rc = copy_bytes_out(res, out, nbytes);
   Py_DECREF(res);
@@ -184,13 +192,13 @@ int icicle_tpu_msm(const char* curve, const uint32_t* scalars,
   // scalar-field width which the shim derives from the curve
   PyObject* args = Py_BuildValue("(s)", curve);
   PyObject* fr_res = shim_call("scalar_limbs", args);
-  Py_DECREF(args);
+  Py_XDECREF(args);
   if (!fr_res) return 2;
   long frl = PyLong_AsLong(fr_res);
   Py_DECREF(fr_res);
   args = Py_BuildValue("(s)", curve);
   PyObject* fq_res = shim_call("base_limbs", args);
-  Py_DECREF(args);
+  Py_XDECREF(args);
   if (!fq_res) return 2;
   long fql = PyLong_AsLong(fq_res);
   Py_DECREF(fq_res);
@@ -205,7 +213,7 @@ int icicle_tpu_msm(const char* curve, const uint32_t* scalars,
       static_cast<Py_ssize_t>(n * fql * 4),
       static_cast<Py_ssize_t>(n));
   PyObject* res = shim_call("msm", args);
-  Py_DECREF(args);
+  Py_XDECREF(args);
   if (!res) return 8;
   int rc = copy_bytes_out(res, out, 2 * fql * 4);
   Py_DECREF(res);
@@ -226,7 +234,7 @@ int icicle_tpu_poseidon2(const char* field, int t, const uint32_t* inputs,
       "(siy#n)", field, t, reinterpret_cast<const char*>(inputs),
       static_cast<Py_ssize_t>(in_bytes), static_cast<Py_ssize_t>(batch));
   PyObject* res = shim_call("poseidon2", args);
-  Py_DECREF(args);
+  Py_XDECREF(args);
   if (!res) return 8;
   int rc = copy_bytes_out(res, out, batch * limbs * 4);
   Py_DECREF(res);
@@ -245,7 +253,7 @@ int icicle_tpu_keccak256(const uint8_t* data, size_t chunk_bytes,
       static_cast<Py_ssize_t>(chunk_bytes * batch),
       static_cast<Py_ssize_t>(chunk_bytes), static_cast<Py_ssize_t>(batch));
   PyObject* res = shim_call("keccak256", args);
-  Py_DECREF(args);
+  Py_XDECREF(args);
   if (!res) return 8;
   int rc = copy_bytes_out(res, out, batch * 32);
   Py_DECREF(res);
@@ -289,7 +297,7 @@ int icicle_tpu_vec_op(const char* field, const char* op, const uint32_t* a,
       static_cast<Py_ssize_t>(nbytes), reinterpret_cast<const char*>(b),
       static_cast<Py_ssize_t>(nbytes), static_cast<Py_ssize_t>(n));
   PyObject* res = shim_call("vec_op", args);
-  Py_DECREF(args);
+  Py_XDECREF(args);
   if (!res) return 8;
   int rc = copy_bytes_out(res, out, nbytes);
   Py_DECREF(res);
@@ -312,7 +320,7 @@ int icicle_tpu_poseidon2_sponge(const char* field, int t, size_t in_words,
       static_cast<Py_ssize_t>(batch * in_words * limbs * 4),
       static_cast<Py_ssize_t>(batch));
   PyObject* res = shim_call("poseidon2_sponge", args);
-  Py_DECREF(args);
+  Py_XDECREF(args);
   if (!res) return 8;
   int rc = copy_bytes_out(res, out, batch * limbs * 4);
   Py_DECREF(res);
@@ -333,7 +341,7 @@ int icicle_tpu_merkle_build(const char* field, const uint32_t* leaves,
       static_cast<Py_ssize_t>(n_leaves * limbs * 4),
       static_cast<Py_ssize_t>(n_leaves));
   PyObject* res = shim_call("merkle_build", args);
-  Py_DECREF(args);
+  Py_XDECREF(args);
   if (!res) return 8;
   int rc = copy_bytes_out(res, root_out, limbs * 4);
   Py_DECREF(res);
@@ -356,7 +364,7 @@ int icicle_tpu_merkle_proof(const char* field, const uint32_t* leaves,
       static_cast<Py_ssize_t>(n_leaves),
       static_cast<unsigned long long>(leaf_idx));
   PyObject* res = shim_call("merkle_proof", args);
-  Py_DECREF(args);
+  Py_XDECREF(args);
   if (!res) return 8;
   int rc = copy_bytes_var(res, proof_out, proof_len);
   Py_DECREF(res);
@@ -374,7 +382,7 @@ int icicle_tpu_merkle_verify(const char* field, const uint8_t* proof,
       "(sy#)", field, reinterpret_cast<const char*>(proof),
       static_cast<Py_ssize_t>(proof_len));
   PyObject* res = shim_call("merkle_verify", args);
-  Py_DECREF(args);
+  Py_XDECREF(args);
   if (!res) return 8;
   *ok_out = static_cast<int>(PyLong_AsLong(res));
   Py_DECREF(res);
@@ -397,7 +405,7 @@ int icicle_tpu_sumcheck_prove_abc(const char* field, const uint32_t* mles,
       reinterpret_cast<const char*>(claimed_sum),
       static_cast<Py_ssize_t>(limbs * 4));
   PyObject* res = shim_call("sumcheck_prove_abc", args);
-  Py_DECREF(args);
+  Py_XDECREF(args);
   if (!res) return 8;
   int rc = copy_bytes_var(res, proof_out, proof_len);
   Py_DECREF(res);
@@ -421,7 +429,7 @@ int icicle_tpu_sumcheck_verify_abc(const char* field,
       reinterpret_cast<const char*>(proof),
       static_cast<Py_ssize_t>(proof_len));
   PyObject* res = shim_call("sumcheck_verify_abc", args);
-  Py_DECREF(args);
+  Py_XDECREF(args);
   if (!res) return 8;
   *ok_out = static_cast<int>(PyLong_AsLong(res));
   Py_DECREF(res);
@@ -443,7 +451,7 @@ int icicle_tpu_fri_prove(const char* field, const uint32_t* evals, size_t n,
       static_cast<Py_ssize_t>(n * limbs * 4), static_cast<Py_ssize_t>(n),
       stopping_degree, nof_queries, pow_bits);
   PyObject* res = shim_call("fri_prove", args);
-  Py_DECREF(args);
+  Py_XDECREF(args);
   if (!res) return 8;
   int rc = copy_bytes_var(res, proof_out, proof_len);
   Py_DECREF(res);
@@ -464,7 +472,7 @@ int icicle_tpu_fri_verify(const char* field, int stopping_degree,
       reinterpret_cast<const char*>(proof),
       static_cast<Py_ssize_t>(proof_len));
   PyObject* res = shim_call("fri_verify", args);
-  Py_DECREF(args);
+  Py_XDECREF(args);
   if (!res) return 8;
   *ok_out = static_cast<int>(PyLong_AsLong(res));
   Py_DECREF(res);
@@ -476,7 +484,7 @@ int icicle_tpu_mlkem_size(const char* category, const char* which) {
   Gil gil;
   PyObject* args = Py_BuildValue("(ss)", category, which);
   PyObject* res = shim_call("mlkem_size", args);
-  Py_DECREF(args);
+  Py_XDECREF(args);
   if (!res) return -1;
   long v = PyLong_AsLong(res);
   Py_DECREF(res);
@@ -497,7 +505,7 @@ int icicle_tpu_mlkem_keygen(const char* category, const uint8_t* entropy,
       "(sy#n)", category, reinterpret_cast<const char*>(entropy),
       static_cast<Py_ssize_t>(batch * 64), static_cast<Py_ssize_t>(batch));
   PyObject* res = shim_call("mlkem_keygen", args);
-  Py_DECREF(args);
+  Py_XDECREF(args);
   if (!res) return 8;
   char* buf = nullptr;
   Py_ssize_t len = 0;
@@ -530,7 +538,7 @@ int icicle_tpu_mlkem_encaps(const char* category, const uint8_t* messages,
       reinterpret_cast<const char*>(public_keys),
       static_cast<Py_ssize_t>(batch * ekb), static_cast<Py_ssize_t>(batch));
   PyObject* res = shim_call("mlkem_encaps", args);
-  Py_DECREF(args);
+  Py_XDECREF(args);
   if (!res) return 8;
   char* buf = nullptr;
   Py_ssize_t len = 0;
@@ -563,7 +571,7 @@ int icicle_tpu_mlkem_decaps(const char* category, const uint8_t* ciphertexts,
       reinterpret_cast<const char*>(secret_keys),
       static_cast<Py_ssize_t>(batch * dkb), static_cast<Py_ssize_t>(batch));
   PyObject* res = shim_call("mlkem_decaps", args);
-  Py_DECREF(args);
+  Py_XDECREF(args);
   if (!res) return 8;
   int rc = copy_bytes_out(res, ss_out, batch * 32);
   Py_DECREF(res);
@@ -591,7 +599,7 @@ int icicle_tpu_pairing(const char* curve, const uint32_t* p,
       reinterpret_cast<const char*>(q),
       static_cast<Py_ssize_t>(4 * limbs * 4));
   PyObject* res = shim_call("pairing", args);
-  Py_DECREF(args);
+  Py_XDECREF(args);
   if (!res) return 8;
   int rc = copy_bytes_out(res, out, 12 * limbs * 4);
   Py_DECREF(res);
@@ -599,8 +607,8 @@ int icicle_tpu_pairing(const char* curve, const uint32_t* p,
 }
 
 int icicle_tpu_pow_solve(const uint8_t* challenge, size_t challenge_len,
-                         int solution_bits, uint64_t* nonce_out,
-                         uint64_t* mined_hash_out) {
+                         int solution_bits, int* found_out,
+                         uint64_t* nonce_out, uint64_t* mined_hash_out) {
   if (!g_shim) {
     g_last_error = "icicle_tpu_init not called";
     return 3;
@@ -610,15 +618,19 @@ int icicle_tpu_pow_solve(const uint8_t* challenge, size_t challenge_len,
       "(y#i)", reinterpret_cast<const char*>(challenge),
       static_cast<Py_ssize_t>(challenge_len), solution_bits);
   PyObject* res = shim_call("pow_solve", args);
-  Py_DECREF(args);
+  Py_XDECREF(args);
   if (!res) return 8;
-  uint8_t buf[16];
-  int rc = copy_bytes_out(res, buf, 16);
+  // 1B found || 8B LE nonce || 8B LE mined hash; found=0 is a SUCCESS
+  // status (reference proof_of_work semantics: cap exhaustion is not an
+  // error — errors stay reserved for internal failures).
+  uint8_t buf[17];
+  int rc = copy_bytes_out(res, buf, 17);
   Py_DECREF(res);
   if (rc) return rc;
   uint64_t nonce = 0, mined = 0;
-  std::memcpy(&nonce, buf, 8);
-  std::memcpy(&mined, buf + 8, 8);
+  std::memcpy(&nonce, buf + 1, 8);
+  std::memcpy(&mined, buf + 9, 8);
+  *found_out = buf[0];
   *nonce_out = nonce;
   *mined_hash_out = mined;
   return 0;
@@ -636,11 +648,170 @@ int icicle_tpu_pow_verify(const uint8_t* challenge, size_t challenge_len,
       static_cast<Py_ssize_t>(challenge_len), solution_bits,
       static_cast<unsigned long long>(nonce));
   PyObject* res = shim_call("pow_verify", args);
-  Py_DECREF(args);
+  Py_XDECREF(args);
   if (!res) return 8;
   *ok_out = static_cast<int>(PyLong_AsLong(res));
   Py_DECREF(res);
   return 0;
+}
+
+int icicle_tpu_lattice_decompose(const uint32_t* in, size_t n, uint32_t base,
+                                 size_t nof_digits, uint32_t* out) {
+  if (!g_shim) {
+    g_last_error = "icicle_tpu_init not called";
+    return 3;
+  }
+  Gil gil;
+  PyObject* args = Py_BuildValue(
+      "(y#nIn)", reinterpret_cast<const char*>(in),
+      static_cast<Py_ssize_t>(n * 8), static_cast<Py_ssize_t>(n), base,
+      static_cast<Py_ssize_t>(nof_digits));
+  PyObject* res = shim_call("lattice_decompose", args);
+  Py_XDECREF(args);
+  if (!res) return 8;
+  int rc = copy_bytes_out(res, out, nof_digits * n * 8);
+  Py_DECREF(res);
+  return rc;
+}
+
+int icicle_tpu_lattice_recompose(const uint32_t* digits, size_t total,
+                                 uint32_t base, size_t out_size,
+                                 uint32_t* out) {
+  if (!g_shim) {
+    g_last_error = "icicle_tpu_init not called";
+    return 3;
+  }
+  Gil gil;
+  PyObject* args = Py_BuildValue(
+      "(y#nIn)", reinterpret_cast<const char*>(digits),
+      static_cast<Py_ssize_t>(total * 8), static_cast<Py_ssize_t>(total),
+      base, static_cast<Py_ssize_t>(out_size));
+  PyObject* res = shim_call("lattice_recompose", args);
+  Py_XDECREF(args);
+  if (!res) return 8;
+  int rc = copy_bytes_out(res, out, out_size * 8);
+  Py_DECREF(res);
+  return rc;
+}
+
+int icicle_tpu_jl_projection(const uint32_t* in, size_t n,
+                             const uint8_t* seed, size_t seed_len,
+                             size_t output_size, uint32_t* out) {
+  if (!g_shim) {
+    g_last_error = "icicle_tpu_init not called";
+    return 3;
+  }
+  Gil gil;
+  PyObject* args = Py_BuildValue(
+      "(y#ny#n)", reinterpret_cast<const char*>(in),
+      static_cast<Py_ssize_t>(n * 8), static_cast<Py_ssize_t>(n),
+      reinterpret_cast<const char*>(seed),
+      static_cast<Py_ssize_t>(seed_len),
+      static_cast<Py_ssize_t>(output_size));
+  PyObject* res = shim_call("lattice_jl_projection", args);
+  Py_XDECREF(args);
+  if (!res) return 8;
+  int rc = copy_bytes_out(res, out, output_size * 8);
+  Py_DECREF(res);
+  return rc;
+}
+
+int icicle_tpu_norm_check(const uint32_t* in, size_t n, const char* norm,
+                          uint64_t bound, int* ok_out) {
+  if (!g_shim) {
+    g_last_error = "icicle_tpu_init not called";
+    return 3;
+  }
+  Gil gil;
+  PyObject* args = Py_BuildValue(
+      "(y#nsK)", reinterpret_cast<const char*>(in),
+      static_cast<Py_ssize_t>(n * 8), static_cast<Py_ssize_t>(n), norm,
+      static_cast<unsigned long long>(bound));
+  PyObject* res = shim_call("lattice_norm_check", args);
+  Py_XDECREF(args);
+  if (!res) return 8;
+  *ok_out = static_cast<int>(PyLong_AsLong(res));
+  Py_DECREF(res);
+  return 0;
+}
+
+int icicle_tpu_poly_mul(const char* field, const uint32_t* a, size_t na,
+                        const uint32_t* b, size_t nb, uint32_t* out) {
+  if (!g_shim) {
+    g_last_error = "icicle_tpu_init not called";
+    return 3;
+  }
+  Gil gil;
+  int limbs = icicle_tpu_field_limbs(field);
+  if (limbs <= 0) return 2;
+  PyObject* args = Py_BuildValue(
+      "(sy#ny#n)", field, reinterpret_cast<const char*>(a),
+      static_cast<Py_ssize_t>(na * limbs * 4), static_cast<Py_ssize_t>(na),
+      reinterpret_cast<const char*>(b),
+      static_cast<Py_ssize_t>(nb * limbs * 4), static_cast<Py_ssize_t>(nb));
+  PyObject* res = shim_call("poly_mul", args);
+  Py_XDECREF(args);
+  if (!res) return 8;
+  int rc = copy_bytes_out(res, out, (na + nb - 1) * limbs * 4);
+  Py_DECREF(res);
+  return rc;
+}
+
+int icicle_tpu_poly_eval(const char* field, const uint32_t* a, size_t na,
+                         const uint32_t* x, uint32_t* out) {
+  if (!g_shim) {
+    g_last_error = "icicle_tpu_init not called";
+    return 3;
+  }
+  Gil gil;
+  int limbs = icicle_tpu_field_limbs(field);
+  if (limbs <= 0) return 2;
+  PyObject* args = Py_BuildValue(
+      "(sy#ny#)", field, reinterpret_cast<const char*>(a),
+      static_cast<Py_ssize_t>(na * limbs * 4), static_cast<Py_ssize_t>(na),
+      reinterpret_cast<const char*>(x), static_cast<Py_ssize_t>(limbs * 4));
+  PyObject* res = shim_call("poly_eval", args);
+  Py_XDECREF(args);
+  if (!res) return 8;
+  int rc = copy_bytes_out(res, out, limbs * 4);
+  Py_DECREF(res);
+  return rc;
+}
+
+int icicle_tpu_poly_divide(const char* field, const uint32_t* a, size_t na,
+                           const uint32_t* b, size_t nb, uint32_t* q_out,
+                           uint32_t* r_out) {
+  if (!g_shim) {
+    g_last_error = "icicle_tpu_init not called";
+    return 3;
+  }
+  Gil gil;
+  int limbs = icicle_tpu_field_limbs(field);
+  if (limbs <= 0) return 2;
+  PyObject* args = Py_BuildValue(
+      "(sy#ny#n)", field, reinterpret_cast<const char*>(a),
+      static_cast<Py_ssize_t>(na * limbs * 4), static_cast<Py_ssize_t>(na),
+      reinterpret_cast<const char*>(b),
+      static_cast<Py_ssize_t>(nb * limbs * 4), static_cast<Py_ssize_t>(nb));
+  PyObject* res = shim_call("poly_divide", args);
+  Py_XDECREF(args);
+  if (!res) return 8;
+  // quotient (na-nb+1) || remainder (nb-1) coefficient rows
+  size_t qn = (na >= nb) ? (na - nb + 1) : 1;
+  size_t rn = (nb >= 2) ? (nb - 1) : 1;
+  char* buf = nullptr;
+  Py_ssize_t len = 0;
+  int rc = 0;
+  if (PyBytes_AsStringAndSize(res, &buf, &len) != 0 ||
+      static_cast<size_t>(len) != (qn + rn) * limbs * 4) {
+    g_last_error = "unexpected result size";
+    rc = 8;
+  } else {
+    std::memcpy(q_out, buf, qn * limbs * 4);
+    std::memcpy(r_out, buf + qn * limbs * 4, rn * limbs * 4);
+  }
+  Py_DECREF(res);
+  return rc;
 }
 
 }  // extern "C"

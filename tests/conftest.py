@@ -17,9 +17,14 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 # persistent compile cache: the CI host is single-core, so XLA:CPU compiles
-# dominate test time; cache them across processes/runs.
-os.makedirs("/root/.cache/jax_local", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_local")
+# dominate test time; cache them across processes/runs. Keyed by the host's
+# CPU feature set — XLA:CPU AOT entries from a different machine are
+# rejected with cpu_aot_loader feature-mismatch spam (see runtime/cache.py).
+from icicle_tpu.runtime.cache import host_fingerprint  # noqa: E402
+
+_cache = "/root/.cache/jax_local/cpu-" + host_fingerprint()
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
@@ -35,7 +40,7 @@ _SLOW_MODULES = {
     "test_ml_kem.py", "test_ml_kem_tpu.py", "test_pairing_ate.py",
     "test_capi.py", "test_reference_vectors.py", "test_fri.py",
     "test_sumcheck.py", "test_blake3.py", "test_sharded.py",
-    "test_ecntt.py", "test_glv.py",
+    "test_ecntt.py", "test_glv.py", "test_msm_glv.py",
 }
 
 

@@ -109,3 +109,33 @@ def test_multilimb_field_tree(rng):
     tree.build(leaves)
     proof = tree.get_merkle_proof(leaves, 3)
     assert tree.verify(proof)
+
+
+def test_chunked_build_bit_identical(rng):
+    """chunks>1 must reproduce the unchunked tree exactly (layers + proofs);
+    it routes around the remote-compile limit at 2^26+ (bench.py)."""
+    f = get_field("babybear")
+    depth = 10
+    leaves = rng.integers(0, f.modulus, size=(1 << depth,), dtype=np.uint32)
+    t_ref = MerkleTree([Poseidon2(f, 2)] * depth, leaf_words=1)
+    t_chk = MerkleTree([Poseidon2(f, 2)] * depth, leaf_words=1)
+    root_ref = t_ref.build(leaves)
+    root_chk = t_chk.build(leaves, chunks=8)
+    assert np.array_equal(root_ref, root_chk)
+    for i in range(len(t_ref.layers)):
+        assert np.array_equal(np.asarray(t_ref.layers[i]),
+                              np.asarray(t_chk.layers[i])), f"layer {i}"
+    proof = t_chk.get_merkle_proof(leaves, 777, pruned=True)
+    assert t_chk.verify(proof)
+
+
+def test_chunked_build_mixed_arity(rng):
+    """chunk split must stop at the deepest layer the chunk size divides."""
+    f = get_field("babybear")
+    hashers = [Poseidon2(f, 4), Poseidon2(f, 2), Poseidon2(f, 4),
+               Poseidon2(f, 2)]
+    n = 4 * 2 * 4 * 2
+    leaves = rng.integers(0, f.modulus, size=(n,), dtype=np.uint32)
+    t_ref = MerkleTree(hashers, leaf_words=1)
+    t_chk = MerkleTree(list(hashers), leaf_words=1)
+    assert np.array_equal(t_ref.build(leaves), t_chk.build(leaves, chunks=4))

@@ -15,6 +15,7 @@ Env:
     TUNE_CS      csv of window sizes to try (default "12,13,14,15,16")
     TUNE_TS      csv of tile sizes to try (default "2048,4096,8192")
     TUNE_NU      precompute factor (default 1)
+    TUNE_GLV     1 = on-device GLV split over [P, phi(P)] bases (default 0)
 Every timed run is bit-exactness-gated against the (sum of scalars)*P
 oracle before its number is recorded.
 """
@@ -32,6 +33,7 @@ def main() -> None:
     cs = [int(s) for s in os.environ.get("TUNE_CS", "12,13,14,15,16").split(",")]
     ts = [int(s) for s in os.environ.get("TUNE_TS", "2048,4096,8192").split(",")]
     nu = int(os.environ.get("TUNE_NU", "1"))
+    glv = bool(int(os.environ.get("TUNE_GLV", "0")))
     engine = pipe.split(":", 1)[1] if ":" in pipe else "u32"
 
     from icicle_tpu.curves.params import get_curve
@@ -83,25 +85,28 @@ def main() -> None:
                     from icicle_tpu.ops.msm_tpu3 import msm_tpu3_prepare
                     prepared = msm_tpu3_prepare(
                         curve_name, bx, by, c=c, T=T, engine=engine,
-                        precompute_factor=nu)
+                        precompute_factor=nu, glv=glv)
                     t0 = time.perf_counter()
                     got = msm_tpu3(curve_name, scal, engine=engine,
-                                   precompute_factor=nu, prepared=prepared)
+                                   precompute_factor=nu, prepared=prepared,
+                                   glv=glv)
                     warm = time.perf_counter() - t0  # includes compile
                     t0 = time.perf_counter()
                     got = msm_tpu3(curve_name, scal, engine=engine,
-                                   precompute_factor=nu, prepared=prepared)
+                                   precompute_factor=nu, prepared=prepared,
+                                   glv=glv)
                     dt = time.perf_counter() - t0
                 except Exception as exc:  # OOM / Mosaic reject: skip point
                     print(f"logn={logn} c={c} T={T}: FAILED {type(exc).__name__}: {exc}")
                     continue
                 ok = got == ((0, 0) if want is INF else want)
                 pps = n / dt
-                print(f"logn={logn} c={c} T={T}: {dt*1e3:.1f} ms "
-                      f"({pps/1e6:.2f} M pts/s) warm={warm:.1f}s "
-                      f"bit_exact={ok}")
+                print(f"logn={logn} c={c} T={T} nu={nu} glv={int(glv)}: "
+                      f"{dt*1e3:.1f} ms ({pps/1e6:.2f} M pts/s) "
+                      f"warm={warm:.1f}s bit_exact={ok}")
                 if ok:
-                    msm_tuning.record(pipe, curve_name, logn,
+                    msm_tuning.record(pipe + (":glv" if glv else ""),
+                                      curve_name, logn,
                                       {"c": c, "T": T}, pps,
                                       precompute_factor=nu)
     print("table written to icicle_tpu/data/msm_tuning.json")
