@@ -154,6 +154,74 @@ def _bench_msm(size_log: int | None = None) -> None:
         sys.exit(1)
 
 
+def _bench_msm_distinct(size_log: int = 18) -> None:
+    """Corroboration run with DISTINCT points (P_i = (i+1)*P): the headline
+    bench uses one repeated point (verifiable as (sum scalars)*P); nothing
+    in the pipeline is data-dependent, so rates must match within noise.
+    This run closes that loophole with its own exact oracle:
+    result == (sum_i (i+1)*s_i) * P (VERDICT r4 ask #8)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from icicle_tpu.curves.params import get_curve
+    from icicle_tpu.ops.msm_tpu3 import msm_tpu3, msm_tpu3_prepare
+    from tests.ec_ref import ec_add, ec_mul
+
+    curve = get_curve("bn254")
+    fr, fq = curve.fr, curve.fq
+    mod = fq.modulus
+    n = 1 << size_log
+    rng = np.random.default_rng(1)
+    P = ec_mul((curve.gen_x, curve.gen_y), 0xC0FFEE, mod)
+
+    # distinct points by host cumulative addition (setup, untimed)
+    pts = np.zeros((n, 2), dtype=object)
+    cur = P
+    for i in range(n):
+        pts[i] = cur
+        cur = ec_add(cur, P, mod)
+    px = np.asarray(fq.from_ints(list(pts[:, 0])))
+    py = np.asarray(fq.from_ints(list(pts[:, 1])))
+
+    scal_ints = rng.integers(0, 1 << 62, size=n, dtype=np.uint64)
+    scal = np.zeros((n, 8), dtype=np.uint32)
+    scal[:, 0] = scal_ints & 0xFFFFFFFF
+    scal[:, 1] = scal_ints >> 32
+    mix = rng.integers(0, 2**32, size=(n, 6), dtype=np.uint32)
+    scal[:, 2:] = mix
+
+    # oracle: sum_i (i+1) * s_i mod r (s_i recovered limb-wise)
+    total = 0
+    for i in range(n):
+        s = 0
+        for limb in range(8):
+            s |= int(scal[i, limb]) << (32 * limb)
+        total = (total + (i + 1) * s) % fr.modulus
+    want = ec_mul(P, total, mod)
+    want = want if want is not None else (0, 0)
+
+    prepared = msm_tpu3_prepare("bn254", jnp.asarray(px), jnp.asarray(py))
+    scal_dev = jax.block_until_ready(jnp.asarray(scal))
+
+    t0 = time.perf_counter()
+    res = msm_tpu3("bn254", scal_dev, prepared=prepared)
+    warm = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(2):
+        res = msm_tpu3("bn254", scal_dev, prepared=prepared)
+    dt = (time.perf_counter() - t0) / 2
+
+    print(json.dumps({
+        "metric": f"bn254_msm_distinct_points_2^{size_log}_points_per_s",
+        "value": n / dt,
+        "unit": "points/s",
+        "bit_exact": bool(res == want),
+        "warmup_s": warm,
+        "note": "distinct-points corroboration of the repeated-point headline",
+    }))
+
+
 def _bench_merkle(size_log: int | None = None) -> None:
     """Poseidon2 binary Merkle tree over 2^BENCH_LOGN babybear leaves
     (reference headline: Poseidon tree, 2^29 leaves, 9.4 s on RTX 3090 Ti —
@@ -220,6 +288,8 @@ def main() -> None:
         # merkle default is 2^24: the 2^26 build trips an HTTP 500 in this
         # environment's remote-compile relay (tpu_compile_helper crash)
         for fn, env, dflt in ((_bench_msm, "BENCH_MSM_LOGN", 24),
+                              (_bench_msm_distinct,
+                               "BENCH_MSM_DISTINCT_LOGN", 18),
                               (_bench_merkle, "BENCH_MERKLE_LOGN", 24)):
             try:
                 fn(int(os.environ.get(env, str(dflt))))

@@ -76,7 +76,7 @@ def _host_horner(fq, n_windows: int, c: int, wsum_x, wsum_y, wsum_z):
 def msm_sharded3(curve_name: str, scalars, points_x, points_y, mesh: Mesh,
                  c: int | None = None, T: int | None = None,
                  backend: str = "xla", engine: str = "u32",
-                 wg: int | None = None):
+                 wg: int | None = None, bitsize: int | None = None):
     """Sharded v3 (prefix-scan) MSM: each shard runs the full msm_tpu3
     pipeline (sort -> MXU permute -> Pallas prefix scan -> MXU extraction ->
     window sums), then the (W, 3, L) per-shard window sums — a few KB — are
@@ -84,6 +84,10 @@ def msm_sharded3(curve_name: str, scalars, points_x, points_y, mesh: Mesh,
     decomposition as msm_sharded (new design space vs the reference's
     thread-per-device story, multi-device.md:47-66) but over the fast v3
     engine; backend="pallas" on real TPU meshes, "xla" twin on CPU meshes.
+
+    bitsize: known scalar bit bound (reference MSMConfig.bitsize,
+    msm.h:23-34); fewer windows when scalars are short — also the lever
+    the CI dryrun uses to keep the xla twin's SPMD compile small.
     """
     from icicle_tpu.ops.msm_tpu3 import (_plan3, _prep_fn3, _jitted_pipeline3)
 
@@ -94,7 +98,7 @@ def msm_sharded3(curve_name: str, scalars, points_x, points_y, mesh: Mesh,
     d = mesh.devices.size
     assert n % d == 0, "global size must divide the mesh"
     shard_n = n // d
-    nbits = fr.modulus.bit_length()
+    nbits = bitsize or fr.modulus.bit_length()
     c, M, T, tiles, n_windows, wg = _plan3(shard_n, c, nbits, T, wg)
     shard_pad = tiles * T
     nls = scalars.shape[1]

@@ -91,12 +91,14 @@ def main() -> None:
        label="rev2 row-take", bytes_moved=2 * nbytes)
 
     # fused composition timing (what the real jitted four-step achieves
-    # after XLA fusion of the non-kernel glue)
-    def full(v):
+    # after XLA fusion of the non-kernel glue). fs_tw must be an ARGUMENT:
+    # closure-captured large constants blow the remote-compile request
+    # (HTTP 413) — see the verify notes.
+    def full(v, tw):
         from icicle_tpu.pallas.ntt_kernel import ntt_four_step_pallas
-        return ntt_four_step_pallas(f, v, NTTDir.FORWARD, fs_tw)
+        return ntt_four_step_pallas(f, v, NTTDir.FORWARD, tw)
 
-    _, dt = _t(jax.jit(full), x, label="full four-step")
+    _, dt = _t(jax.jit(full), x, fs_tw, label="full four-step")
     bf = logn * (n // 2)
     print(f"{'':>22}  = {bf / dt / 1e9:.1f} G butterflies/s", flush=True)
 
