@@ -33,7 +33,10 @@ import pytest  # noqa: E402
 
 # fast/slow lanes (VERDICT r3 ask): modules dominated by big jitted pipelines
 # or subprocess builds are `slow`; everything else is `fast`. The fast lane
-# (`pytest -m fast`) must stay under ~10 min on this 1-core host.
+# (`pytest -m fast`) must stay under ~10 min on this 1-core host — the split
+# below is from the round-5 per-module timing run (warm compile cache):
+# test_msm/test_g2 exceed 10 min EACH (generic-pipeline compiles),
+# test_curve is ~3 min; the remaining fast set sums to ~8 min.
 _SLOW_MODULES = {
     "test_msm_tpu.py", "test_msm_tpu2.py", "test_msm_tpu3.py",
     "test_msm_r12.py", "test_msm_sharded.py", "test_two_level.py",
@@ -41,6 +44,7 @@ _SLOW_MODULES = {
     "test_capi.py", "test_reference_vectors.py", "test_fri.py",
     "test_sumcheck.py", "test_blake3.py", "test_sharded.py",
     "test_ecntt.py", "test_glv.py", "test_msm_glv.py",
+    "test_msm.py", "test_g2.py", "test_curve.py",
 }
 
 
