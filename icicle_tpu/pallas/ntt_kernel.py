@@ -169,7 +169,8 @@ def _mxu_tail_matrix(field_name: str, logN: int, forward: bool) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def make_dif_kernel_mxu(field_name: str, logN: int, TR: int):
+def make_dif_kernel_mxu(field_name: str, logN: int, TR: int,
+                        pre_mul: bool = False):
     """DIF pass with an MXU radix-128 epilogue: the first logN-7 stages run
     as VPU butterflies with vreg-granular (>=128-lane) rolls; the last 7
     stages — whose rolls rotate WITHIN vregs and dominated the measured
@@ -177,7 +178,12 @@ def make_dif_kernel_mxu(field_name: str, logN: int, TR: int):
     per-128-block matmul against the precomputed sub-NTT matrix in
     balanced-base-256 digit planes on the MXU (bf16 x bf16 -> f32 dots are
     exact: |digits| <= 128, block sums < 2^24). Same I/O contract as
-    make_dif_kernel. Single-limb Mont32 fields, logN >= 7."""
+    make_dif_kernel. Single-limb Mont32 fields, logN >= 7.
+
+    pre_mul=True streams one extra (rows, N) Montgomery-form factor and
+    multiplies it in during load — the four-step folds its inter-pass
+    twiddle matrix into the second kernel this way, removing a whole HBM
+    round trip."""
     f = get_field(field_name)
     assert f.limb_shape == (), "pallas NTT kernel serves single-limb fields"
     assert logN >= 7
@@ -193,7 +199,11 @@ def make_dif_kernel_mxu(field_name: str, logN: int, TR: int):
     c_consts = [(1 << (16 * t)) * r_mod % p_int for t in (1, 2, 3)]
     MASK16 = 0xFFFF
 
-    def kernel(tw_ref, mt_ref, x_ref, o_ref):
+    def kernel(tw_ref, mt_ref, x_ref, *rest):
+        if pre_mul:
+            ft_ref, o_ref = rest
+        else:
+            (o_ref,) = rest
         p = jnp.uint32(p_int)
         pinv = jnp.uint32(pinv_int)
 
@@ -222,6 +232,9 @@ def make_dif_kernel_mxu(field_name: str, logN: int, TR: int):
             return jnp.where(t >= p, t - p, t).astype(jnp.uint32)
 
         xb = x_ref[0].reshape(TR, NB, 128)
+        if pre_mul:
+            # fold the inter-pass twiddle multiply into the load
+            xb = fmul_mont(xb, ft_ref[0].reshape(TR, NB, 128))
         blk = jax.lax.broadcasted_iota(jnp.int32, (TR, NB, 128), 1)
         for s in range(S_vpu):
             m = N >> (s + 1)
@@ -270,23 +283,30 @@ def make_dif_kernel_mxu(field_name: str, logN: int, TR: int):
                 y = fadd(y, fmul_mont(qm, jnp.uint32(c_consts[t - 1])))
         o_ref[0] = y.reshape(TR, N)
 
-    def invoke(x, tw, mt):
+    def invoke(x, tw, mt, ft=None):
         rows = x.shape[0]
         assert rows % TR == 0, (rows, TR)
+        specs = [pl.BlockSpec((S, N), lambda r: (0, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((4, 128, 128), lambda r: (0, 0, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((1, TR, N), lambda r: (0, r, 0),
+                              memory_space=pltpu.VMEM)]
+        args = [tw, mt, x[None]]
+        if pre_mul:
+            assert ft is not None
+            specs.append(pl.BlockSpec((1, TR, N), lambda r: (0, r, 0),
+                                      memory_space=pltpu.VMEM))
+            args.append(ft[None])
         call = pl.pallas_call(
             kernel,
             grid=(rows // TR,),
-            in_specs=[pl.BlockSpec((S, N), lambda r: (0, 0),
-                                   memory_space=pltpu.VMEM),
-                      pl.BlockSpec((4, 128, 128), lambda r: (0, 0, 0),
-                                   memory_space=pltpu.VMEM),
-                      pl.BlockSpec((1, TR, N), lambda r: (0, r, 0),
-                                   memory_space=pltpu.VMEM)],
+            in_specs=specs,
             out_specs=pl.BlockSpec((1, TR, N), lambda r: (0, r, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((1, rows, N), jnp.uint32),
         )
-        return call(tw, mt, x[None])[0]
+        return call(*args)[0]
 
     return invoke
 
@@ -330,22 +350,31 @@ def ntt_four_step_pallas(f: Field, x, dir, fs_tw=None):
     import os as _os
     use_mxu = (_os.environ.get("ICICLE_TPU_NTT_MXU", "1") != "0")
 
-    def make(logN, tr):
+    def make(logN, tr, pre_mul=False):
         if use_mxu and logN >= 9:
-            k = make_dif_kernel_mxu(f.name, logN, tr)
+            k = make_dif_kernel_mxu(f.name, logN, tr, pre_mul)
             mt = jnp.asarray(_mxu_tail_matrix(f.name, logN, fwd))
+            if pre_mul:
+                return lambda v, tw, ft: k(v, tw, mt, ft)
             return lambda v, tw: k(v, tw, mt)
+        assert not pre_mul
         return make_dif_kernel(f.name, logN, tr)
 
     kA = make(log_n1, pick_tr(n2, n1))
-    kB = make(log_n2, pick_tr(n1, n2))
+    fold_tw = use_mxu and log_n2 >= 9
+    kB = make(log_n2, pick_tr(n1, n2), pre_mul=fold_tw)
 
     a = x.reshape(n1, n2).T               # (n2, n1): rows i2
     a = kA(a, twA)                        # [i2, bitrev(k1)]
     a = a.T                               # (n1, n2): rows bitrev(k1)
     a = jnp.take(a, rev1, axis=0)         # [k1, i2]
-    a = f.engine.mul_mont(a, fs_tw)       # inter-pass twiddles
-    a = kB(a, twB)                        # [k1, bitrev(k2)]
+    if fold_tw:
+        # inter-pass twiddle multiply folded into kernelB's load (one
+        # fewer HBM round trip; make_dif_kernel_mxu pre_mul)
+        a = kB(a, twB, fs_tw)             # [k1, bitrev(k2)]
+    else:
+        a = f.engine.mul_mont(a, fs_tw)   # inter-pass twiddles
+        a = kB(a, twB)                    # [k1, bitrev(k2)]
     a = a.T                               # (n2, n1): rows bitrev(k2)
     a = jnp.take(a, rev2, axis=0)         # [k2, k1]
     out = a.reshape(n)                    # flat p = n1*k2 + k1: natural

@@ -232,3 +232,49 @@ def test_rns_ntt_crt_matches_direct(rng):
     assert list(got) == list(direct)
     back = zq.to_ints(rns_to_zq(N.ntt_rns(y, NTTDir.INVERSE)))
     assert list(back) == vals
+
+
+def test_mxu_tail_matrix_equals_stage_chain():
+    """The MXU radix-128 epilogue matrix (pallas/ntt_kernel._mxu_tail_matrix)
+    must reproduce the last 7 DIF stages exactly (exact integer check — the
+    kernel itself is TPU-only, but the matrix math is host-verifiable)."""
+    import numpy as np
+    from icicle_tpu.fields.field import get_field
+    from icicle_tpu.ops import ntt as N_
+    from icicle_tpu.pallas.ntt_kernel import _stage_twiddles, _mxu_tail_matrix
+
+    f = get_field("babybear")
+    p = f.modulus
+    logN = 10
+    N = 1 << logN
+    N_.ntt_init_domain(f, logN)
+    tw = np.asarray(_stage_twiddles("babybear", logN, True)).astype(np.int64)
+    r_inv = pow(f.params.r, -1, p)
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, p, size=(N,), dtype=np.int64)
+
+    def stage(v, s):
+        m = N >> (s + 1)
+        i = np.arange(N)
+        bit = (i & m) != 0
+        prt = np.where(bit, v[i - m], v[(i + m) % N])
+        top = (v + prt) % p
+        bot = ((prt - v) % p) * tw[s] % p * r_inv % p
+        return np.where(bit, bot, top)
+
+    head = x.copy()
+    for s in range(logN - 7):
+        head = stage(head, s)
+    full = head.copy()
+    for s in range(logN - 7, logN):
+        full = stage(full, s)
+
+    digs = _mxu_tail_matrix("babybear", logN, True)
+    mt = np.zeros((128, 128), dtype=object)
+    for b in range(4):
+        mt += digs[b].astype(np.int64).astype(object) * (1 << (8 * b))
+    mt %= p
+    # digit planes must be bf16-exact: integers in [-128, 127]
+    assert np.all(np.abs(digs) <= 128)
+    got = (head.reshape(-1, 128).astype(object) @ mt) % p
+    assert np.array_equal(got.astype(np.int64).reshape(-1), full)
