@@ -285,12 +285,13 @@ def main() -> None:
         # MSM + Merkle headline lines ride before the final NTT line (the
         # driver parses the LAST line; these land in the artifact tail).
         # A failure in either must not lose the driver metric.
-        # merkle default is 2^24: the 2^26 build trips an HTTP 500 in this
-        # environment's remote-compile relay (tpu_compile_helper crash)
+        # merkle default is 2^26 via the chunked build (single 2^25+
+        # dispatches trip an HTTP 500 in this environment's remote-compile
+        # relay; MerkleTree.build chunks are bit-identical)
         for fn, env, dflt in ((_bench_msm, "BENCH_MSM_LOGN", 24),
                               (_bench_msm_distinct,
                                "BENCH_MSM_DISTINCT_LOGN", 18),
-                              (_bench_merkle, "BENCH_MERKLE_LOGN", 24)):
+                              (_bench_merkle, "BENCH_MERKLE_LOGN", 26)):
             try:
                 fn(int(os.environ.get(env, str(dflt))))
             except SystemExit:
