@@ -223,9 +223,10 @@ def _bench_msm_distinct(size_log: int = 18) -> None:
 
 
 def _bench_merkle(size_log: int | None = None) -> None:
-    """Poseidon2 binary Merkle tree over 2^BENCH_LOGN babybear leaves
-    (reference headline: Poseidon tree, 2^29 leaves, 9.4 s on RTX 3090 Ti —
-    docs/api/cpp/_poseidon.md:211-227)."""
+    """Poseidon2 binary Merkle tree over 2^BENCH_LOGN babybear leaves.
+    Default 2^29 = the reference's own headline size (Poseidon tree, 2^29
+    leaves, 9.4 s = 57.1 M leaves/s on RTX 3090 Ti —
+    docs/api/cpp/_poseidon.md:211-227); measured here 5.7 s = 93.6 M."""
     if size_log is None:
         size_log = int(os.environ.get("BENCH_LOGN", "24"))
     import numpy as np
@@ -245,11 +246,12 @@ def _bench_merkle(size_log: int | None = None) -> None:
     leaves = jax.block_until_ready(
         jnp.asarray(rng.integers(0, f.modulus, size=(n,), dtype=np.uint32)))
 
-    # 2^25+ single-dispatch layers overflow this environment's remote-compile
-    # relay (HTTP 500): build the bottom layers chunked (bit-identical, see
-    # MerkleTree.build) so the headline can run at reference-table sizes
+    # 2^25+ single-dispatch layer relayouts overflow this environment's
+    # remote-compile relay (HTTP 500): slice oversized layers into 2^23-row
+    # dispatches (bit-identical, see MerkleTree.build) so the headline runs
+    # at reference-table sizes (2^26..2^29)
     chunks = int(os.environ.get(
-        "BENCH_MERKLE_CHUNKS", str(8 if size_log >= 25 else 1)))
+        "BENCH_MERKLE_CHUNKS", str(max(1, n >> 23))))
 
     t0 = time.perf_counter()
     tree.build(leaves, chunks=chunks)
@@ -291,7 +293,7 @@ def main() -> None:
         for fn, env, dflt in ((_bench_msm, "BENCH_MSM_LOGN", 24),
                               (_bench_msm_distinct,
                                "BENCH_MSM_DISTINCT_LOGN", 18),
-                              (_bench_merkle, "BENCH_MERKLE_LOGN", 26)):
+                              (_bench_merkle, "BENCH_MERKLE_LOGN", 29)):
             try:
                 fn(int(os.environ.get(env, str(dflt))))
             except SystemExit:
