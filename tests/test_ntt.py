@@ -234,21 +234,24 @@ def test_rns_ntt_crt_matches_direct(rng):
     assert list(back) == vals
 
 
-def test_mxu_tail_matrix_equals_stage_chain():
+@pytest.mark.parametrize("field_name", ["babybear", "koalabear"])
+def test_mxu_tail_matrix_equals_stage_chain(field_name):
     """The MXU radix-128 epilogue matrix (pallas/ntt_kernel._mxu_tail_matrix)
     must reproduce the last 7 DIF stages exactly (exact integer check — the
-    kernel itself is TPU-only, but the matrix math is host-verifiable)."""
+    kernel itself is TPU-only, but the matrix math is host-verifiable),
+    for every single-limb Mont32 field with enough two-adicity (m31 has
+    two-adicity 1 — no radix-2 domains)."""
     import numpy as np
     from icicle_tpu.fields.field import get_field
     from icicle_tpu.ops import ntt as N_
     from icicle_tpu.pallas.ntt_kernel import _stage_twiddles, _mxu_tail_matrix
 
-    f = get_field("babybear")
+    f = get_field(field_name)
     p = f.modulus
     logN = 10
     N = 1 << logN
     N_.ntt_init_domain(f, logN)
-    tw = np.asarray(_stage_twiddles("babybear", logN, True)).astype(np.int64)
+    tw = np.asarray(_stage_twiddles(field_name, logN, True)).astype(np.int64)
     r_inv = pow(f.params.r, -1, p)
     rng = np.random.default_rng(7)
     x = rng.integers(0, p, size=(N,), dtype=np.int64)
@@ -269,7 +272,7 @@ def test_mxu_tail_matrix_equals_stage_chain():
     for s in range(logN - 7, logN):
         full = stage(full, s)
 
-    digs = _mxu_tail_matrix("babybear", logN, True)
+    digs = _mxu_tail_matrix(field_name, logN, True)
     mt = np.zeros((128, 128), dtype=object)
     for b in range(4):
         mt += digs[b].astype(np.int64).astype(object) * (1 << (8 * b))
