@@ -10,8 +10,9 @@ Every MSM run is verified against a host oracle (the points are a repeated
 real curve point, so the result must equal (sum of scalars) * P — the bench
 doubles as a correctness gate).
 
-Env knobs: BENCH_LOGN (single-kernel mode; default 26 ntt / 24 msm/merkle),
-BENCH_MSM_LOGN / BENCH_MERKLE_LOGN / BENCH_NTT_LOGN (all-mode overrides),
+Env knobs: BENCH_LOGN (single-kernel mode; default 26 ntt / 24 msm / 29
+merkle), BENCH_MSM_LOGN / BENCH_MERKLE_LOGN / BENCH_NTT_LOGN (all-mode
+overrides), BENCH_MERKLE_CHUNKS (layer-slice count; auto from size),
 BENCH_BATCH, BENCH_NTT_BACKEND=auto|xla|pallas,
 BENCH_MSM_PIPELINE=v3|v2 (prefix-scan vs suffix-fold),
 BENCH_MSM_NU=1|2|4|8 (precompute_factor; bases built by
